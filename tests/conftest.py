@@ -3,7 +3,9 @@ run anywhere (the JAX analog of a fake distributed backend — the reference
 had none; see SURVEY.md §4)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU (the session env pins JAX_PLATFORMS=axon for the real chip;
+# tests want the virtual 8-device CPU mesh and float64 oracles)
+os.environ["JAX_PLATFORMS"] = os.environ.get("HOIGEN_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,3 +17,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# this JAX build defaults f32 matmuls to bf16 MXU precision even on the CPU
+# backend; parity tests need true f32 accumulation
+jax.config.update("jax_default_matmul_precision", "highest")
