@@ -1,0 +1,3 @@
+from .hicodet import HICODetDataset  # noqa: F401
+from .vcoco import VCOCODataset  # noqa: F401
+from .factory import DataFactory, collate_batch  # noqa: F401

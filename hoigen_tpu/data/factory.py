@@ -1,0 +1,141 @@
+"""DataFactory: dataset + dual-stream transforms + zero-shot filtering +
+static-shape batch collation.
+
+Mirrors /root/reference/utils_tip_cache_and_union_finetune.py:52-310
+(DataFactory/custom_collate) with the TPU-critical change that batches are
+padded to fixed shapes: the DETR stream pads into aspect buckets with a
+pixel mask, targets pad to ``max_gt_pairs`` with a validity mask.
+"""
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .hicodet import HICODetDataset
+from .vcoco import VCOCODataset
+from .transforms import DualStreamTransform
+
+# (h, w) buckets for the ≤1333 DETR stream (min side 800 after eval resize)
+DEFAULT_BUCKETS = ((800, 1344), (1344, 800), (1088, 1088), (1344, 1344))
+
+
+@dataclasses.dataclass
+class Batch:
+    images: np.ndarray        # (B, 3, Hb, Wb) padded DETR stream
+    image_mask: np.ndarray    # (B, Hb, Wb) True where padded
+    images_clip: np.ndarray   # (B, 3, r, r)
+    clip_sizes: np.ndarray    # (B, 2) = (r, r)
+    boxes_h: np.ndarray       # (B, G, 4) normalized cxcywh (CLIP frame)
+    boxes_o: np.ndarray
+    labels: np.ndarray        # (B, G) verb/hoi ids
+    objects: np.ndarray       # (B, G)
+    gt_valid: np.ndarray      # (B, G)
+    hoi: np.ndarray           # (B, G) interaction ids (hicodet)
+    indices: np.ndarray       # (B,) dataset indices
+
+
+class DataFactory:
+    def __init__(self, name: str, partition: str, data_root: str,
+                 training: bool, zero_shot: bool = False,
+                 zs_type: str = "rare_first", num_classes: int = 117,
+                 clip_resolution: int = 224, max_gt_pairs: int = 32,
+                 seed: int = 0):
+        if name == "hicodet":
+            anno = f"{data_root}/instances_{partition}.json"
+            root = f"{data_root}/hico_20160224_det/images/{partition}"
+            self.dataset = HICODetDataset(anno, root)
+        elif name == "vcoco":
+            anno = f"{data_root}/instances_vcoco_{partition}.json"
+            image_dir = {"train": "images/train2014",
+                         "val": "images/train2014",
+                         "trainval": "images/train2014",
+                         "test": "images/val2014"}[partition]
+            self.dataset = VCOCODataset(anno, f"{data_root}/{image_dir}")
+        else:
+            raise ValueError(name)
+        self.name = name
+        self.training = training
+        self.num_classes = num_classes
+        self.max_gt_pairs = max_gt_pairs
+        self.transform = DualStreamTransform(training, clip_resolution, seed)
+        self.zero_shot = zero_shot and name == "hicodet" and training
+        self.filtered_hoi_idx: List[int] = []
+        if self.zero_shot:
+            from ..labels import HICO
+            self.filtered_hoi_idx = HICO.unseen_index[zs_type]
+            remain = set(range(600)) - set(self.filtered_hoi_idx)
+            self.keep = [i for i in range(len(self.dataset))
+                         if remain & set(self.dataset.target(i)["hoi"]
+                                         .tolist())]
+        else:
+            self.keep = list(range(len(self.dataset)))
+
+    def __len__(self):
+        return len(self.keep)
+
+    def __getitem__(self, i: int):
+        idx = self.keep[i]
+        image = self.dataset.load_image(idx)
+        target = self.dataset.target(idx)
+        if self.name == "vcoco":
+            target["labels"] = target["actions"]
+            target["object"] = target.pop("objects")
+        else:
+            target["labels"] = target["verb"]
+        if self.zero_shot:
+            m = ~np.isin(target["hoi"], self.filtered_hoi_idx)
+            for k in ("boxes_h", "boxes_o", "hoi", "verb", "object",
+                      "labels"):
+                if k in target:
+                    target[k] = target[k][m]
+        detr_img, clip_img, target = self.transform(image, target)
+        return detr_img, clip_img, target, idx
+
+
+def pick_bucket(h, w, buckets: Sequence = DEFAULT_BUCKETS):
+    fitting = [b for b in buckets if b[0] >= h and b[1] >= w]
+    if not fitting:
+        return max(buckets, key=lambda b: b[0] * b[1])
+    return min(fitting, key=lambda b: b[0] * b[1])
+
+
+def collate_batch(samples, max_gt_pairs: int = 32,
+                  buckets: Sequence = DEFAULT_BUCKETS,
+                  label_key: str = "labels") -> Batch:
+    """Pad a list of (detr_img, clip_img, target, idx) to fixed shapes."""
+    b = len(samples)
+    hb, wb = (0, 0)
+    for img, _, _, _ in samples:
+        bt = pick_bucket(img.shape[1], img.shape[2], buckets)
+        hb, wb = max(hb, bt[0]), max(wb, bt[1])
+    images = np.zeros((b, 3, hb, wb), np.float32)
+    mask = np.ones((b, hb, wb), bool)
+    r = samples[0][1].shape[-1]
+    images_clip = np.zeros((b, 3, r, r), np.float32)
+    g = max_gt_pairs
+    bh = np.zeros((b, g, 4), np.float32)
+    bo = np.zeros((b, g, 4), np.float32)
+    labels = np.zeros((b, g), np.int32)
+    objects = np.zeros((b, g), np.int32)
+    hoi = np.zeros((b, g), np.int32)
+    valid = np.zeros((b, g), bool)
+    indices = np.zeros(b, np.int64)
+    for i, (img, cimg, tgt, idx) in enumerate(samples):
+        _, h, w = img.shape
+        images[i, :, :h, :w] = img
+        mask[i, :h, :w] = False
+        images_clip[i] = cimg
+        n = min(len(tgt["boxes_h"]), g)
+        if n:
+            bh[i, :n] = tgt["boxes_h"][:n]
+            bo[i, :n] = tgt["boxes_o"][:n]
+            labels[i, :n] = tgt[label_key][:n]
+            key = "object" if "object" in tgt else "objects"
+            objects[i, :n] = tgt[key][:n]
+            if "hoi" in tgt:
+                hoi[i, :n] = tgt["hoi"][:n]
+            valid[i, :n] = True
+        indices[i] = idx
+    return Batch(images, mask, images_clip,
+                 np.full((b, 2), float(r), np.float32),
+                 bh, bo, labels, objects, valid, hoi, indices)

@@ -1,0 +1,160 @@
+"""Dual-stream image transforms (PIL + numpy, torchvision-free).
+
+Reproduces the reference's data augmentation stack
+(/root/reference/utils_tip_cache_and_union_finetune.py:86-114 and
+/root/reference/detr/datasets/transforms_clip.py):
+
+  train:  hflip(0.5) -> color jitter(.4,.4,.4) -> either multi-scale resize
+          (min side in {480..800}, max 1333) or resize{400,500,600} +
+          random crop(384..600) + multi-scale resize
+  eval:   resize min side 800, max 1333
+  both:   a second stream resized exactly to (clip_res, clip_res) bicubic;
+          both streams ImageNet-normalized (the reference normalizes the
+          CLIP stream with ImageNet stats too — kept for parity); targets
+          follow the CLIP stream and end as normalized cxcywh in its frame.
+
+Note: the reference's crop keep-filter compares the human box max corner
+against the *object* box min corner (transforms_clip.py:86-90, an apparent
+typo); we keep pairs whose boxes are both non-degenerate, the evident
+intent.
+"""
+import numpy as np
+from PIL import Image, ImageEnhance
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+TRAIN_SCALES = (480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800)
+
+
+def hflip(image, target):
+    image = image.transpose(Image.FLIP_LEFT_RIGHT)
+    w = image.size[0]
+    out = dict(target)
+    for k in ("boxes_h", "boxes_o"):
+        b = target[k]
+        if len(b):
+            out[k] = np.stack([w - b[:, 2], b[:, 1], w - b[:, 0], b[:, 3]], 1)
+    return image, out
+
+
+def color_jitter(image, rng, strength=0.4):
+    ops = [("brightness", ImageEnhance.Brightness),
+           ("contrast", ImageEnhance.Contrast),
+           ("saturation", ImageEnhance.Color)]
+    order = rng.permutation(len(ops))
+    for i in order:
+        factor = float(rng.uniform(1 - strength, 1 + strength))
+        image = ops[i][1](image).enhance(factor)
+    return image
+
+
+def _aspect_size(w, h, size, max_size):
+    if max_size is not None:
+        mn, mx = float(min(w, h)), float(max(w, h))
+        if mx / mn * size > max_size:
+            size = int(round(max_size * mn / mx))
+    if (w <= h and w == size) or (h <= w and h == size):
+        return h, w
+    if w < h:
+        return int(size * h / w), size
+    return size, int(size * w / h)
+
+
+def resize(image, target, size, max_size=None):
+    """size: int (min side, aspect preserved) or (w, h) exact."""
+    w0, h0 = image.size
+    if isinstance(size, (list, tuple)):
+        oh, ow = size[1], size[0]
+    else:
+        oh, ow = _aspect_size(w0, h0, size, max_size)
+    image = image.resize((ow, oh), Image.BICUBIC)
+    if target is None:
+        return image, None
+    rw, rh = ow / w0, oh / h0
+    out = dict(target)
+    for k in ("boxes_h", "boxes_o"):
+        b = target[k]
+        if len(b):
+            out[k] = b * np.asarray([rw, rh, rw, rh], np.float32)
+    return image, out
+
+
+def random_size_crop(image, target, rng, min_size=384, max_size=600):
+    w = int(rng.integers(min_size, min(image.width, max_size) + 1)) \
+        if image.width > min_size else image.width
+    h = int(rng.integers(min_size, min(image.height, max_size) + 1)) \
+        if image.height > min_size else image.height
+    i = int(rng.integers(0, image.height - h + 1))
+    j = int(rng.integers(0, image.width - w + 1))
+    image = image.crop((j, i, j + w, i + h))
+    out = dict(target)
+    keep = None
+    for k in ("boxes_h", "boxes_o"):
+        b = target[k]
+        if len(b) == 0:
+            continue
+        b = b - np.asarray([j, i, j, i], np.float32)
+        b = np.clip(b, 0, np.asarray([w, h, w, h], np.float32))
+        out[k] = b
+        nondegen = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+        keep = nondegen if keep is None else (keep & nondegen)
+    if keep is not None:
+        for k in ("boxes_h", "boxes_o", "hoi", "verb", "object", "actions",
+                  "objects", "labels"):
+            if k in out and len(out[k]):
+                out[k] = out[k][keep]
+    return image, out
+
+
+def to_normalized_array(image):
+    """PIL -> float32 (3, H, W), ImageNet-normalized."""
+    arr = np.asarray(image, np.float32) / 255.0
+    arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+    return arr.transpose(2, 0, 1)
+
+
+def boxes_to_normalized_cxcywh(target, w, h):
+    out = dict(target)
+    scale = np.asarray([w, h, w, h], np.float32)
+    for k in ("boxes_h", "boxes_o"):
+        b = target[k]
+        if len(b):
+            cxcywh = np.stack([(b[:, 0] + b[:, 2]) / 2,
+                               (b[:, 1] + b[:, 3]) / 2,
+                               b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], 1)
+            out[k] = cxcywh / scale
+    return out
+
+
+class DualStreamTransform:
+    """image, target -> (detr_image CHW, clip_image CHW, target)."""
+
+    def __init__(self, training: bool, clip_resolution: int = 224,
+                 seed: int = 0):
+        self.training = training
+        self.clip_resolution = clip_resolution
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, image, target):
+        rng = self.rng
+        if self.training:
+            if rng.random() < 0.5:
+                image, target = hflip(image, target)
+            image = color_jitter(image, rng)
+            if rng.random() < 0.5:
+                size = int(rng.choice(TRAIN_SCALES))
+                image, target = resize(image, target, size, 1333)
+            else:
+                image, target = resize(image, target,
+                                       int(rng.choice((400, 500, 600))))
+                image, target = random_size_crop(image, target, rng)
+                image, target = resize(image, target,
+                                       int(rng.choice(TRAIN_SCALES)), 1333)
+        else:
+            image, target = resize(image, target, 800, 1333)
+        r = self.clip_resolution
+        clip_image, target = resize(image, target, (r, r))
+        target = boxes_to_normalized_cxcywh(target, r, r)
+        target["size"] = np.asarray([r, r], np.float32)
+        return (to_normalized_array(image), to_normalized_array(clip_image),
+                target)

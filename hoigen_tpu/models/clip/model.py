@@ -51,19 +51,23 @@ def _dropout(x, rate, rng):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
-def mha(p, q, kv, num_heads, attn_mask=None, key_padding_mask=None):
+def mha(p, q, kv, num_heads, attn_mask=None, key_padding_mask=None,
+        kv_pos=None):
     """torch nn.MultiheadAttention semantics, batch-first.
 
     q: (B, Lq, E), kv: (B, Lk, E). attn_mask: additive (Lq, Lk).
     key_padding_mask: (B, Lk) bool, True = ignore.
+    kv_pos: optional positional embedding added to keys only (DETR-style
+    `with_pos_embed(memory, pos)` for K while V stays raw).
     """
     b, lq, e = q.shape
     lk = kv.shape[1]
     hd = e // num_heads
     w_q, w_k, w_v = jnp.split(p["w_qkv"], 3, axis=0)     # each (E, E)
     b_q, b_k, b_v = jnp.split(p["b_qkv"], 3, axis=0)
+    k_in = kv if kv_pos is None else kv + kv_pos
     qh = (q @ w_q.T + b_q).reshape(b, lq, num_heads, hd)
-    kh = (kv @ w_k.T + b_k).reshape(b, lk, num_heads, hd)
+    kh = (k_in @ w_k.T + b_k).reshape(b, lk, num_heads, hd)
     vh = (kv @ w_v.T + b_v).reshape(b, lk, num_heads, hd)
     scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(hd)
     scores = scores.astype(jnp.float32)

@@ -1,0 +1,92 @@
+"""ResNet-50 backbone with frozen BatchNorm, functional JAX.
+
+Matches torchvision resnet50 (v1.5: stride in the 3x3 conv) as used by DETR
+(/root/reference/detr/models/backbone.py:83 with FrozenBatchNorm2d,
+return layer4 only). Frozen BN is folded at conversion time into a
+per-channel (scale, bias) applied after each conv — on TPU this fuses into
+the convolution epilogue.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DN = ("NCHW", "OIHW", "NCHW")
+LAYER_BLOCKS = (3, 4, 6, 3)
+BN_EPS = 1e-5
+
+
+def _conv(x, w, stride=1, padding=0):
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride),
+        [(padding, padding), (padding, padding)], dimension_numbers=_DN)
+
+
+def _conv_bn(x, p, stride=1, padding=0, relu=True):
+    y = _conv(x, p["w"], stride, padding)
+    y = y * p["scale"].astype(x.dtype)[None, :, None, None] \
+        + p["bias"].astype(x.dtype)[None, :, None, None]
+    return jax.nn.relu(y) if relu else y
+
+
+def _max_pool_3x3_s2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
+        [(0, 0), (0, 0), (1, 1), (1, 1)])
+
+
+def _bottleneck(x, p, stride):
+    out = _conv_bn(x, p["conv1"])
+    out = _conv_bn(out, p["conv2"], stride=stride, padding=1)
+    out = _conv_bn(out, p["conv3"], relu=False)
+    identity = _conv_bn(x, p["down"], stride=stride, relu=False) \
+        if "down" in p else x
+    return jax.nn.relu(out + identity)
+
+
+def resnet50_forward(params, x):
+    """x: (B, 3, H, W) -> C5 features (B, 2048, H/32, W/32)."""
+    x = _conv_bn(x, params["stem"], stride=2, padding=3)
+    x = _max_pool_3x3_s2(x)
+    for li, blocks in enumerate(params["layers"]):
+        stride = 1 if li == 0 else 2
+        for bi, bp in enumerate(blocks):
+            x = _bottleneck(x, bp, stride if bi == 0 else 1)
+    return x
+
+
+# ---------------------------------------------------------------- init -----
+def _conv_bn_init(rng, out_c, in_c, k):
+    fan = in_c * k * k
+    w = jax.random.normal(rng, (out_c, in_c, k, k)) * np.sqrt(2.0 / fan)
+    return {"w": w, "scale": jnp.ones(out_c), "bias": jnp.zeros(out_c)}
+
+
+def init_resnet50_params(rng):
+    widths = (256, 512, 1024, 2048)
+    params = {"stem": _conv_bn_init(jax.random.fold_in(rng, 0), 64, 3, 7),
+              "layers": []}
+    in_c = 64
+    for li, (n_blocks, out_c) in enumerate(zip(LAYER_BLOCKS, widths)):
+        mid = out_c // 4
+        blocks = []
+        for bi in range(n_blocks):
+            r = jax.random.fold_in(rng, 100 * (li + 1) + bi)
+            blk = {
+                "conv1": _conv_bn_init(jax.random.fold_in(r, 1), mid, in_c, 1),
+                "conv2": _conv_bn_init(jax.random.fold_in(r, 2), mid, mid, 3),
+                "conv3": _conv_bn_init(jax.random.fold_in(r, 3), out_c, mid, 1),
+            }
+            if bi == 0:
+                blk["down"] = _conv_bn_init(jax.random.fold_in(r, 4),
+                                            out_c, in_c, 1)
+            blocks.append(blk)
+            in_c = out_c
+        params["layers"].append(blocks)
+    return params
+
+
+def fold_bn(conv_w, bn_w, bn_b, bn_mean, bn_var, eps=BN_EPS):
+    """Frozen BN (y = (x-mean)/sqrt(var+eps)*w + b) -> post-conv scale/bias."""
+    scale = bn_w / np.sqrt(bn_var + eps)
+    return {"w": jnp.asarray(conv_w), "scale": jnp.asarray(scale),
+            "bias": jnp.asarray(bn_b - bn_mean * scale)}

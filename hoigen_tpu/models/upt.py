@@ -1,0 +1,419 @@
+"""UPT: the unary-pairwise HOI detection head, static-shape functional JAX.
+
+Re-architects /root/reference/upt_tip_cache_model_free_finetune_distill3.py
+(UPT class, :270-1664) TPU-first: the per-image Python loops of
+compute_roi_embeddings (:959-1268) become batched fixed-capacity tensor ops;
+cache scoring is one einsum per branch over zero-padded per-class caches
+(padding rows carry zero labels so every division by sample_lens is exact);
+losses are masked instead of gather-compacted.
+
+Pipeline (forward, :1543-1664):
+  DETR postprocess -> select_region_proposals (NMS + min/max instance
+  selection) -> detection priors (score+box+object-text-embedding ->
+  MLP 517->128->64) -> adapter-CLIP image encoder -> roi_align_mean pooled
+  human/object/union features -> six logit branches (cache H/O/U, text,
+  CLIP-global cache, DINO cache) -> focal loss (train) or
+  sigmoid*prior^lambda detections (eval).
+"""
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.boxes import box_iou, recover_boxes
+from ..ops.focal import binary_focal_loss_with_logits, prior_modulated_logits
+from ..ops.roi_align import roi_align_mean
+from .clip.config import CLIPConfig
+from .clip.model import encode_image
+from .proposals import ProposalConfig, make_pairs, pair_indices, \
+    select_region_proposals
+
+
+@dataclasses.dataclass(frozen=True)
+class UPTConfig:
+    num_classes: int = 117
+    num_shot: int = 2
+    alpha: float = 0.5
+    gamma: float = 0.2
+    fg_iou_thresh: float = 0.5
+    hyper_lambda: float = 2.8          # eval-time score-power (:814)
+    logits_type: str = "HO+U+T"        # branches to sum (:373-378)
+    cache_model: str = "cache_feat"    # 'cache_feat' | 'gen_feat' (:393-430)
+    use_clip_global: bool = True
+    use_dino: bool = True
+    use_weight_pred: bool = False
+    use_insadapter: bool = True
+    prior_type: str = "cbe"
+    prior_method: int = 0
+    proposals: ProposalConfig = ProposalConfig()
+    clip_resolution: int = 224
+    visual_output_dim: int = 512
+    dino_dim: int = 2048
+    max_gt_pairs: int = 32             # static GT capacity per image
+    # training-time generated-feature augmentation (:1064-1154); one sampled
+    # synthetic pair feature appended per image
+    generate_feature: bool = False
+
+    @property
+    def priors_initial_dim(self) -> int:
+        return {"cbe": self.visual_output_dim + 5, "cb": 5,
+                "ce": self.visual_output_dim + 1,
+                "be": self.visual_output_dim + 4, "c": 1, "b": 4,
+                "e": self.visual_output_dim}["cbe"]  # cbe is the shipped mode
+
+    @property
+    def cache_rows(self) -> int:
+        return self.num_classes * self.num_shot
+
+
+# --------------------------------------------------------------------------
+# priors (get_prior, :1445-1539, prior_method == 0)
+# --------------------------------------------------------------------------
+def _mlp3(params, x):
+    for i, lp in enumerate(params):
+        x = x @ lp["w"].T + lp["b"]
+        if i < len(params) - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+def compute_priors(params, boxes, scores, labels, valid, image_sizes,
+                   object_embedding, cfg: UPTConfig):
+    """-> (prior tokens (B, S, 64), key-padding mask (B, S) True=pad)."""
+    h = image_sizes[:, 0:1]
+    w = image_sizes[:, 1:2]
+    scale = jnp.concatenate([w, h, w, h], axis=1)[:, None, :]
+    nb = boxes / scale.astype(boxes.dtype)
+    obj_emb = object_embedding[labels]                     # (B, S, 512)
+    if cfg.prior_type == "cbe":
+        feats = jnp.concatenate([scores[..., None], nb, obj_emb], axis=-1)
+    elif cfg.prior_type == "cb":
+        feats = jnp.concatenate([scores[..., None], nb], axis=-1)
+    elif cfg.prior_type == "ce":
+        feats = jnp.concatenate([scores[..., None], obj_emb], axis=-1)
+    elif cfg.prior_type == "be":
+        feats = jnp.concatenate([nb, obj_emb], axis=-1)
+    elif cfg.prior_type == "c":
+        feats = scores[..., None]
+    elif cfg.prior_type == "b":
+        feats = nb
+    elif cfg.prior_type == "e":
+        feats = obj_emb
+    else:
+        raise NotImplementedError(cfg.prior_type)
+    feats = feats * valid[..., None].astype(feats.dtype)
+    return _mlp3(params["priors_downproj"], feats), ~valid
+
+
+# --------------------------------------------------------------------------
+# prior scores (compute_prior_scores, :806-833) as a one-hot matmul
+# --------------------------------------------------------------------------
+def compute_prior_scores(scores, labels, pair_valid, object_class_multihot,
+                         x_idx, y_idx, training: bool, cfg: UPTConfig):
+    """-> (2, ..., P, C): detection-score priors for human and object."""
+    p = 1.0 if training else cfg.hyper_lambda
+    s_h = scores[..., x_idx] ** p
+    s_o = scores[..., y_idx] ** p
+    valid_verbs = object_class_multihot[labels[..., y_idx]]   # (..., P, C)
+    m = valid_verbs * pair_valid[..., None]
+    return jnp.stack([s_h[..., None] * m, s_o[..., None] * m])
+
+
+# --------------------------------------------------------------------------
+# logits (compute_roi_embeddings cache math, :1149-1207)
+# --------------------------------------------------------------------------
+def _cache_branch(feats, w, b, one_hots, sample_lens):
+    phi = feats @ w.T + b
+    return (phi @ one_hots) / sample_lens
+
+
+def compute_logits(params, buffers, hum, obj, uni, feat_global, dino_feats,
+                   cfg: UPTConfig):
+    """All branch logits summed with learned scales.
+
+    hum/obj/uni: (..., P, 512) L2-normalized pair features.
+    feat_global: (..., 512) normalized CLIP CLS; dino_feats: (..., 2048)
+    normalized (or None). Returns (..., P, C).
+    """
+    if cfg.cache_model == "gen_feat":
+        lg_h = _cache_branch(hum, params["adapter_H_w"], params["adapter_H_b"],
+                             buffers["one_hots"], buffers["sample_lens"])
+        lg_o = _cache_branch(obj, params["adapter_O_w"], params["adapter_O_b"],
+                             buffers["one_hots"], buffers["sample_lens"])
+        lg_u = _cache_branch(uni, params["adapter_U_w"], params["adapter_U_b"],
+                             buffers["one_hots"], buffers["sample_lens"])
+        logits = (lg_h * params["logit_scale_H"]
+                  + lg_o * params["logit_scale_O"]
+                  + lg_u * params["logit_scale_U"])
+    else:  # cache_feat: concatenated human+object cache + union cache (:1166-1170)
+        ho = jnp.concatenate([hum, obj], axis=-1)
+        lg_ho = _cache_branch(ho, params["adapter_HO_w"],
+                              params["adapter_HO_b"], buffers["one_hots"],
+                              buffers["sample_lens"]) / 2.0
+        lg_u = _cache_branch(uni, params["adapter_U_w"], params["adapter_U_b"],
+                             buffers["one_hots"], buffers["sample_lens"])
+        logits = lg_ho * params["logit_scale_HO"] \
+            + lg_u * params["logit_scale_U"]
+    if "T" in cfg.logits_type:
+        logits = logits + (uni @ params["text_w"].T) * params["logit_scale_T"]
+    if cfg.use_clip_global:
+        aff = feat_global @ params["global_cache"] + params["global_cache_bias"]
+        lg_g = (aff @ buffers["global_values"]) / buffers["global_sample_len"]
+        logits = logits + lg_g[..., None, :] * params["clip_cache_logit"]
+    if cfg.use_dino and dino_feats is not None:
+        aff = dino_feats @ params["dino_cache"] + params["dino_cache_bias"]
+        lg_d = (aff @ buffers["dino_values"]) / buffers["dino_sample_len"]
+        logits = logits + lg_d[..., None, :] * params["dino_cache_logit"]
+    return logits
+
+
+# --------------------------------------------------------------------------
+# ground-truth association (associate_with_ground_truth, :1276-1295)
+# --------------------------------------------------------------------------
+def associate_with_ground_truth(bh, bo, gt_bh, gt_bo, gt_cls, gt_valid,
+                                image_size, cfg: UPTConfig):
+    """bh/bo: (P, 4) abs pair boxes; gt in normalized cxcywh (G, 4);
+    gt_cls: (G,) verb (117/24) or hoi (600) ids. -> multihot (P, C)."""
+    gt_h = recover_boxes(gt_bh, image_size)
+    gt_o = recover_boxes(gt_bo, image_size)
+    iou = jnp.minimum(box_iou(bh, gt_h), box_iou(bo, gt_o))   # (P, G)
+    match = (iou >= cfg.fg_iou_thresh) & gt_valid[None, :]
+    onehot = jax.nn.one_hot(gt_cls, cfg.num_classes, dtype=jnp.float32)
+    return jnp.clip(match.astype(jnp.float32) @ onehot, 0.0, 1.0)
+
+
+def interaction_loss(logits, prior, labels, pair_valid, n_p):
+    """Masked focal loss (compute_interaction_loss, :1297-1359).
+
+    prior: (2, B, P, C); entries with zero prior product are excluded, and
+    the normalizer n_p (count of positive labels, all-reduced by the caller
+    across data shards) mirrors the reference exactly.
+    """
+    pp = prior[0] * prior[1]
+    weights = (pp > 0) & pair_valid[..., None]
+    x = prior_modulated_logits(logits, pp)
+    loss = binary_focal_loss_with_logits(
+        x, labels, alpha=0.5, gamma=0.2, reduction="none")
+    return jnp.sum(loss * weights) / n_p
+
+
+# --------------------------------------------------------------------------
+# full forward
+# --------------------------------------------------------------------------
+def upt_forward(params, buffers, detr_post, images_clip, image_sizes,
+                clip_cfg: CLIPConfig, cfg: UPTConfig,
+                dino_apply=None, targets=None, training=False, rng=None,
+                gen_sample=None, featmap_dropout_rng=None):
+    """One batched step.
+
+    detr_post: dict from detr.postprocess evaluated at the *CLIP-stream*
+      image sizes (the reference feeds image_sizes of the CLIP images,
+      :1585-1605): scores/labels (B, Q), boxes (B, Q, 4).
+    images_clip: (B, 3, 224, 224) normalized CLIP stream.
+    image_sizes: (B, 2) = (h, w) of the CLIP stream.
+    dino_apply: optional callable images -> (B, 2048) DINO features.
+    targets (training): dict with boxes_h/boxes_o (B, G, 4) normalized
+      cxcywh, labels (B, G) class ids, valid (B, G) bool.
+    gen_sample (training, generate_feature): dict with hum/obj/uni
+      (B, 512) sampled generated features, verb multihot rows, obj ids.
+
+    Returns loss scalar + aux dict (training) or detection dict (eval).
+    """
+    p_cfg = cfg.proposals
+    boxes, scores, labels, valid = jax.vmap(
+        lambda s, l, b: select_region_proposals(s, l, b, p_cfg))(
+            detr_post["scores"], detr_post["labels"], detr_post["boxes"])
+
+    prior_tokens, prior_mask = compute_priors(
+        params, boxes, scores, labels, valid, image_sizes,
+        buffers["object_embedding"], cfg)
+
+    clip_prior = (prior_tokens, prior_mask) if cfg.use_insadapter else (None,
+                                                                        None)
+    feat_global, feat_local = encode_image(
+        params["clip"], images_clip, clip_cfg,
+        prior=clip_prior[0], prior_mask=clip_prior[1], rng=rng)
+    feat_global = feat_global / jnp.linalg.norm(feat_global, axis=-1,
+                                                keepdims=True)
+
+    dino_feats = None
+    if cfg.use_dino and dino_apply is not None:
+        dino_feats = dino_apply(images_clip)
+        dino_feats = dino_feats / jnp.linalg.norm(dino_feats, axis=-1,
+                                                  keepdims=True)
+
+    # pooled ROI features on the CLIP local grid (:1019-1050)
+    bh, bo, bu, pair_valid = make_pairs(boxes, valid, p_cfg)
+    grid = feat_local.shape[1]
+    spatial_scale = grid / cfg.clip_resolution
+    fmap = feat_local.transpose(0, 3, 1, 2)                 # (B, C, g, g)
+    single = roi_align_mean(fmap, boxes, (7, 7), spatial_scale)
+    union = roi_align_mean(fmap, bu, (7, 7), spatial_scale)
+    if featmap_dropout_rng is not None:                     # feat_mask_type 0
+        keep = jax.random.bernoulli(featmap_dropout_rng, 0.8, single.shape)
+        single = jnp.where(keep, single / 0.8, 0.0)
+        keep_u = jax.random.bernoulli(
+            jax.random.fold_in(featmap_dropout_rng, 1), 0.8, union.shape)
+        union = jnp.where(keep_u, union / 0.8, 0.0)
+
+    x_idx, y_idx = pair_indices(p_cfg)
+
+    def _norm(f):
+        return f / jnp.clip(jnp.linalg.norm(f, axis=-1, keepdims=True),
+                            1e-12, None)
+
+    hum = _norm(single[:, x_idx])
+    obj = _norm(single[:, y_idx])
+    uni = _norm(union)
+
+    logits = compute_logits(params, buffers, hum, obj, uni, feat_global,
+                            dino_feats, cfg)
+    prior = compute_prior_scores(scores, labels, pair_valid,
+                                 buffers["object_class_multihot"],
+                                 x_idx, y_idx, training, cfg)
+
+    aux = dict(boxes=boxes, scores=scores, labels=labels, valid=valid,
+               pair_valid=pair_valid, bh=bh, bo=bo,
+               pairing=(x_idx, y_idx), logits=logits, prior=prior)
+
+    if not training:
+        pp = prior[0] * prior[1]
+        det_scores = jax.nn.sigmoid(logits) * pp
+        aux["detection_scores"] = det_scores                # (B, P, C)
+        aux["objects"] = labels[:, y_idx]                   # (B, P)
+        return aux
+
+    gt_labels = jax.vmap(
+        lambda bh_, bo_, gh, go, gc, gv, sz: associate_with_ground_truth(
+            bh_, bo_, gh, go, gc, gv, sz, cfg))(
+            bh, bo, targets["boxes_h"], targets["boxes_o"],
+            targets["labels"], targets["valid"], image_sizes)
+
+    if cfg.generate_feature and gen_sample is not None:
+        # one synthetic pair per image (:1064-1154, :1212-1243)
+        g_h = _norm(gen_sample["hum"])[:, None]
+        g_o = _norm(gen_sample["obj"])[:, None]
+        g_u = _norm(gen_sample["uni"])[:, None]
+        g_logits = compute_logits(params, buffers, g_h, g_o, g_u,
+                                  feat_global, dino_feats, cfg)
+        logits = jnp.concatenate([logits, g_logits], axis=1)
+        g_prior = jnp.broadcast_to(
+            (buffers["object_class_multihot"][gen_sample["obj_cls"]]
+             )[None, :, None, :], (2, *g_logits.shape))
+        prior = jnp.concatenate([prior, g_prior], axis=2)
+        g_label = gen_sample["verb_multihot"][:, None, :]
+        gt_labels = jnp.concatenate([gt_labels, g_label], axis=1)
+        pair_valid = jnp.concatenate(
+            [pair_valid, jnp.ones((pair_valid.shape[0], 1), bool)], axis=1)
+
+    n_p_local = jnp.sum(gt_labels * pair_valid[..., None])
+    aux["n_p_local"] = n_p_local
+    aux["gt_labels"] = gt_labels
+    aux["loss_fn"] = None
+    loss = interaction_loss(logits, prior, gt_labels, pair_valid,
+                            jnp.maximum(n_p_local, 1.0))
+    return loss, aux
+
+
+def language_aware_loss(params, origin_text_embeddings, weight: float):
+    """Optional LA regularizer (:1653-1658): cross-entropy between the
+    learned text-adapter rows and the frozen CLIP text embeddings."""
+    w = params["text_w"]
+    w = w / jnp.linalg.norm(w, axis=-1, keepdims=True)
+    sim = w @ origin_text_embeddings.T
+    n = sim.shape[0]
+    logp = jax.nn.log_softmax(sim, axis=-1)
+    return -weight * logp[jnp.arange(n), jnp.arange(n)].mean()
+
+
+# --------------------------------------------------------------------------
+# postprocessing to host-side detections (postprocessing, :1408-1427)
+# --------------------------------------------------------------------------
+def detections_to_host(aux, image_sizes):
+    """Returns numpy arrays for the eval loop: per image the dense
+    (P, C) score matrix with pair validity, box slots and pairings —
+    sparse extraction (nonzero prior) happens on host."""
+    return {k: np.asarray(aux[k]) for k in
+            ("detection_scores", "boxes", "pair_valid", "objects")} | {
+        "pair_x": np.asarray(aux["pairing"][0]),
+        "pair_y": np.asarray(aux["pairing"][1]),
+        "image_sizes": np.asarray(image_sizes),
+    }
+
+
+# --------------------------------------------------------------------------
+# parameter init
+# --------------------------------------------------------------------------
+def init_upt_params(rng, cfg: UPTConfig, caches, clip_params):
+    """caches: models.cache.UPTCaches (numpy arrays). Returns (params,
+    buffers): params are trainable, buffers frozen."""
+    log_1_007 = float(np.log(1.0 / 0.07))
+    ks = jax.random.split(rng, 4)
+
+    def mlp3_init(r, dims):
+        out = []
+        for i in range(3):
+            r_i = jax.random.fold_in(r, i)
+            fan_in = dims[i]
+            bound = 1.0 / np.sqrt(fan_in)
+            out.append({
+                "w": jax.random.uniform(r_i, (dims[i + 1], dims[i]),
+                                        jnp.float32, -bound, bound),
+                "b": jnp.zeros(dims[i + 1])})
+        return out
+
+    params = {
+        "clip": clip_params,
+        "priors_downproj": mlp3_init(
+            ks[0], (cfg.priors_initial_dim, 128, 128, 64)),
+        "text_w": jnp.asarray(caches.origin_text_embeddings),
+        "logit_scale_T": jnp.asarray(log_1_007),
+    }
+    if cfg.cache_model == "gen_feat":
+        params.update({
+            "adapter_H_w": jnp.asarray(caches.cache_h),
+            "adapter_H_b": -jnp.ones(cfg.cache_rows),
+            "adapter_O_w": jnp.asarray(caches.cache_o),
+            "adapter_O_b": -jnp.ones(cfg.cache_rows),
+            "adapter_U_w": jnp.asarray(caches.cache_u),
+            "adapter_U_b": -jnp.ones(cfg.cache_rows),
+            "logit_scale_H": jnp.asarray(log_1_007),
+            "logit_scale_O": jnp.asarray(log_1_007),
+            "logit_scale_U": jnp.asarray(log_1_007),
+        })
+    else:
+        params.update({
+            "adapter_HO_w": jnp.asarray(
+                np.concatenate([caches.cache_h, caches.cache_o], axis=-1)),
+            "adapter_HO_b": -jnp.ones(cfg.cache_rows),
+            "adapter_U_w": jnp.asarray(caches.cache_u),
+            "adapter_U_b": -jnp.ones(cfg.cache_rows),
+            "logit_scale_HO": jnp.asarray(log_1_007),
+            "logit_scale_U": jnp.asarray(log_1_007),
+        })
+    if cfg.use_clip_global:
+        params.update({
+            "global_cache": jnp.asarray(caches.clip_global_keys),
+            "global_cache_bias": -jnp.ones(caches.clip_global_keys.shape[1]),
+            "clip_cache_logit": jnp.asarray(log_1_007),
+        })
+    if cfg.use_dino:
+        params.update({
+            "dino_cache": jnp.asarray(caches.dino_keys),
+            "dino_cache_bias": -jnp.ones(caches.dino_keys.shape[1]),
+            "dino_cache_logit": jnp.asarray(log_1_007),
+        })
+    buffers = {
+        "one_hots": jnp.asarray(caches.one_hots),
+        "sample_lens": jnp.asarray(caches.sample_lens),
+        "global_values": jnp.asarray(caches.one_hots),
+        "global_sample_len": jnp.asarray(caches.sample_lens),
+        "dino_values": jnp.asarray(caches.one_hots),
+        "dino_sample_len": jnp.asarray(caches.sample_lens),
+        "object_class_multihot": jnp.asarray(caches.object_class_multihot),
+        "object_embedding": jnp.asarray(caches.object_embedding),
+        "origin_text_embeddings": jnp.asarray(caches.origin_text_embeddings),
+    }
+    return params, buffers
