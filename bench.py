@@ -1,0 +1,90 @@
+"""Headline benchmark: HICO-DET eval images/sec/chip on the flagship model.
+
+Runs the full jitted eval step — frozen DETR-R50 at the 800x1344 eval
+bucket, adapter-CLIP ViT-B/16 with 30-token detection priors, DINO-R50, and
+the UPT head's 450-pair x 600-class scoring — on whatever chip JAX sees
+(random weights; throughput is weight-independent).
+
+vs_baseline is measured throughput divided by REF_A100_EVAL_IPS, an assumed
+20 images/sec for the PyTorch reference on A100 (the repo publishes no
+speed numbers — see BASELINE.md; UPT-family pipelines run batch-1 eval with
+per-image Python loops at O(10) img/s). The north-star target in
+BASELINE.json is vs_baseline >= 3.
+"""
+import json
+import time
+
+import jax
+import numpy as np
+
+REF_A100_EVAL_IPS = 20.0
+BATCH = 8
+
+
+def main():
+    from hoigen_tpu.engine.hoi_model import HOIModelConfig, init_hoi_model, \
+        make_eval_step, make_example_batch
+    from hoigen_tpu.models.cache import random_caches
+    from hoigen_tpu.models.upt import UPTConfig
+
+    import sys
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    cfg = HOIModelConfig(upt=UPTConfig(num_classes=600, num_shot=2))
+    caches = random_caches(600, 2, num_objects=80)
+    log("bench: init params...")
+    init = jax.jit(lambda r: init_hoi_model(r, cfg, caches))
+    trainable, frozen, buffers = jax.block_until_ready(
+        init(jax.random.PRNGKey(0)))
+    log("bench: init done")
+
+    batch = make_example_batch(cfg, batch_size=BATCH, detr_hw=(800, 1344))
+    batch = jax.device_put(batch)   # keep the 100MB image batch on-device
+    batch = jax.block_until_ready(batch)
+    base_step = make_eval_step(cfg)
+
+    # Through the axon relay, block_until_ready acks before execution
+    # completes — only a host transfer of output data forces real
+    # completion. So: time each step with a (tiny) forced output transfer,
+    # then subtract the measured null round-trip latency.
+    # NB: everything is an argument — closed-over device arrays embed as
+    # HLO constants and XLA spends minutes constant-folding the frozen
+    # towers at compile time.
+    @jax.jit
+    def step(tr, fz, bf, b, c):
+        b = dict(b)
+        b["images_clip"] = b["images_clip"] + c
+        out = base_step(tr, fz, bf, b)
+        return out["detection_scores"].sum()       # scalar forces full exec
+
+    null = jax.jit(lambda c: c + 1.0)
+    log("bench: compiling eval step...")
+    _ = np.asarray(step(trainable, frozen, buffers, batch, np.float32(0)))
+    _ = np.asarray(null(np.float32(0)))
+    log("bench: timing...")
+
+    def med(fn, n=12):
+        ts = []
+        for i in range(n):
+            t0 = time.perf_counter()
+            np.asarray(fn(np.float32(i) * 1e-9))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_null = med(null)
+    t_step = med(lambda c: step(trainable, frozen, buffers, batch, c))
+    dt = max(t_step - t_null, 1e-6)
+    ips = BATCH / dt
+
+    print(json.dumps({
+        "metric": "hicodet_eval_images_per_sec_per_chip",
+        "value": round(float(ips), 2),
+        "unit": "images/s",
+        "vs_baseline": round(float(ips) / REF_A100_EVAL_IPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

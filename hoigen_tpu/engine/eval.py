@@ -1,0 +1,186 @@
+"""HICO-DET mAP evaluation and official-format result caching.
+
+Host-side equivalents of CustomisedDLE.test_hico / cache_hico / cache_vcoco
+(/root/reference/utils_tip_cache_and_union_finetune.py:348-540): the device
+produces dense (P, C) pair-score matrices per image (one jitted step per
+batch); the host extracts nonzero entries, converts verbs to interactions,
+associates with ground truth and feeds the AP meter.
+"""
+import os
+import pickle
+from collections import defaultdict
+from typing import Optional
+
+import numpy as np
+
+from ..eval import BoxPairAssociation, DetectionAPMeter
+from ..models.proposals import pair_indices
+
+
+def _extract_detections(scores_mat, boxes, objects, pair_x, pair_y):
+    """Dense (P, C) -> sparse detections (reference postprocessing,
+    upt...py:1408-1427: entries with nonzero prior product)."""
+    ps, cs = np.nonzero(scores_mat)
+    return {
+        "scores": scores_mat[ps, cs],
+        "verbs": cs.astype(np.int64),
+        "objects": objects[ps],
+        "boxes_h": boxes[pair_x[ps]],
+        "boxes_o": boxes[pair_y[ps]],
+    }
+
+
+def _recover_gt(boxes_cxcywh, size_hw):
+    b = np.asarray(boxes_cxcywh, np.float64)
+    cx, cy, w, h = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    xyxy = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
+    sh, sw = size_hw
+    return xyxy * np.asarray([sw, sh, sw, sh])
+
+
+def evaluate_hico(run_batches, dataset, num_classes: int,
+                  proposal_cfg, object_n_verb_to_interaction=None,
+                  zs_unseen: Optional[list] = None):
+    """run_batches: iterable of (host_outputs, batch) where host_outputs has
+    detection_scores (B, P, C), boxes (B, S, 4), objects (B, P) and batch
+    carries GT (normalized cxcywh in the CLIP frame) + clip_sizes + indices.
+
+    Returns dict with ap (600,), mAP full/rare/non-rare and, for zero-shot,
+    seen/unseen (main_tip_finetune.py:908-950).
+    """
+    associate = BoxPairAssociation(min_iou=0.5)
+    num_gt = dataset.anno_interaction
+    meter = DetectionAPMeter(600, num_gt=num_gt, algorithm="11P")
+    px, py = (np.asarray(x) for x in pair_indices(proposal_cfg))
+    conv = object_n_verb_to_interaction
+
+    for outputs, batch in run_batches:
+        scores_all = np.asarray(outputs["detection_scores"])
+        boxes_all = np.asarray(outputs["boxes"])
+        objects_all = np.asarray(outputs["objects"])
+        for i in range(scores_all.shape[0]):
+            det = _extract_detections(scores_all[i], boxes_all[i],
+                                      objects_all[i], px, py)
+            if num_classes == 117:
+                inter = conv[det["objects"], det["verbs"]]
+            else:
+                inter = det["verbs"]
+            keep = inter >= 0
+            for k in det:
+                det[k] = det[k][keep]
+            inter = inter[keep]
+
+            gv = np.asarray(batch.gt_valid[i])
+            gt_h = _recover_gt(batch.boxes_h[i][gv], batch.clip_sizes[i])
+            gt_o = _recover_gt(batch.boxes_o[i][gv], batch.clip_sizes[i])
+            gt_hoi = np.asarray(batch.hoi[i][gv])
+            labels = np.zeros(len(inter))
+            for hoi_idx in np.unique(inter):
+                gt_idx = np.nonzero(gt_hoi == hoi_idx)[0]
+                det_idx = np.nonzero(inter == hoi_idx)[0]
+                if len(gt_idx):
+                    labels[det_idx] = associate(
+                        (gt_h[gt_idx], gt_o[gt_idx]),
+                        (det["boxes_h"][det_idx], det["boxes_o"][det_idx]),
+                        det["scores"][det_idx])
+            meter.append(det["scores"], inter, labels)
+
+    ap = meter.eval()
+    num_gt = np.asarray(num_gt, np.float64)
+    rare = num_gt < 10
+    result = {"ap": ap, "mAP": float(ap.mean()),
+              "mAP_rare": float(ap[rare].mean()),
+              "mAP_non_rare": float(ap[~rare].mean())}
+    if zs_unseen is not None:
+        unseen = np.zeros(600, bool)
+        unseen[np.asarray(zs_unseen)] = True
+        result["mAP_unseen"] = float(ap[unseen].mean())
+        result["mAP_seen"] = float(ap[~unseen].mean())
+    return result
+
+
+def cache_hico(run_batches, dataset, proposal_cfg,
+               object_n_verb_to_interaction, object_to_interaction,
+               num_classes: int, cache_dir: str):
+    """Official HICO-DET .mat result dump (cache_hico, :413-492)."""
+    import scipy.io as sio
+    px, py = (np.asarray(x) for x in pair_indices(proposal_cfg))
+    nimages = len(dataset.annotations)
+    all_results = np.empty((600, nimages), dtype=object)
+    conv = object_n_verb_to_interaction
+    for outputs, batch in run_batches:
+        scores_all = np.asarray(outputs["detection_scores"])
+        boxes_all = np.asarray(outputs["boxes"])
+        objects_all = np.asarray(outputs["objects"])
+        for i in range(scores_all.shape[0]):
+            ds_idx = int(batch.indices[i])
+            image_idx = dataset._idx[ds_idx]
+            det = _extract_detections(scores_all[i], boxes_all[i],
+                                      objects_all[i], px, py)
+            inter = (conv[det["objects"], det["verbs"]]
+                     if num_classes == 117 else det["verbs"])
+            keep = inter >= 0
+            ow, oh = dataset.image_size(ds_idx)
+            h, w = batch.clip_sizes[i]
+            scale = np.asarray([ow / w, oh / h, ow / w, oh / h])
+            bh = det["boxes_h"][keep] * scale
+            bo = det["boxes_o"][keep] * scale
+            bh[:, 2:] -= 1   # coordinates -> pixel indices
+            bo[:, 2:] -= 1
+            sc = det["scores"][keep]
+            for cls in np.unique(inter[keep]):
+                m = inter[keep] == cls
+                all_results[cls, image_idx] = np.concatenate(
+                    [bh[m], bo[m], sc[m, None]], axis=1)
+    for c in range(600):
+        for j in range(nimages):
+            if all_results[c, j] is None:
+                all_results[c, j] = np.zeros((0, 0))
+    os.makedirs(cache_dir, exist_ok=True)
+    for obj in range(80):
+        sio.savemat(os.path.join(cache_dir, f"detections_{obj + 1:02d}.mat"),
+                    {"all_boxes": all_results[object_to_interaction[obj]]})
+
+
+class _VcocoResult(defaultdict):
+    """V-COCO cache entry (CacheTemplate, :312-325): missing agent keys
+    score 0, missing role keys get a tiny zero-score box."""
+
+    def __init__(self, **kw):
+        super().__init__()
+        for k, v in kw.items():
+            self[k] = v
+
+    def __missing__(self, k):
+        return 0.0 if k.endswith("_agent") else [0.0, 0.0, 0.1, 0.1, 0.0]
+
+
+def cache_vcoco(run_batches, dataset, proposal_cfg, cache_dir: str):
+    """Official V-COCO pickle dump (cache_vcoco, :494-540)."""
+    px, py = (np.asarray(x) for x in pair_indices(proposal_cfg))
+    all_results = []
+    for outputs, batch in run_batches:
+        scores_all = np.asarray(outputs["detection_scores"])
+        boxes_all = np.asarray(outputs["boxes"])
+        objects_all = np.asarray(outputs["objects"])
+        for i in range(scores_all.shape[0]):
+            ds_idx = int(batch.indices[i])
+            det = _extract_detections(scores_all[i], boxes_all[i],
+                                      objects_all[i], px, py)
+            ow, oh = dataset.image_size(ds_idx) if hasattr(
+                dataset, "image_size") else (batch.clip_sizes[i][1],
+                                             batch.clip_sizes[i][0])
+            h, w = batch.clip_sizes[i]
+            scale = np.asarray([ow / w, oh / h, ow / w, oh / h])
+            image_id = dataset.image_id(ds_idx)
+            for bh, bo, s, a in zip(det["boxes_h"] * scale,
+                                    det["boxes_o"] * scale,
+                                    det["scores"], det["verbs"]):
+                name = dataset.actions[a].split()
+                r = _VcocoResult(image_id=image_id, person_box=bh.tolist())
+                r[name[0] + "_agent"] = float(s)
+                r["_".join(name)] = bo.tolist() + [float(s)]
+                all_results.append(r)
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(os.path.join(cache_dir, "cache.pkl"), "wb") as f:
+        pickle.dump(all_results, f, 2)

@@ -184,19 +184,21 @@ def associate_with_ground_truth(bh, bo, gt_bh, gt_bo, gt_cls, gt_valid,
     return jnp.clip(match.astype(jnp.float32) @ onehot, 0.0, 1.0)
 
 
-def interaction_loss(logits, prior, labels, pair_valid, n_p):
-    """Masked focal loss (compute_interaction_loss, :1297-1359).
+def interaction_loss_sum(logits, prior, labels, pair_valid,
+                         alpha=0.5, gamma=0.2):
+    """Unnormalized masked focal loss sum (compute_interaction_loss,
+    :1297-1359). The caller divides by the global positive count n_p —
+    under pjit over a data mesh, summing the sharded batch IS the global
+    sum, which matches DDP's gradient-mean + per-worker n_p-mean exactly.
 
-    prior: (2, B, P, C); entries with zero prior product are excluded, and
-    the normalizer n_p (count of positive labels, all-reduced by the caller
-    across data shards) mirrors the reference exactly.
+    prior: (2, ..., P, C); entries with zero prior product are excluded.
     """
     pp = prior[0] * prior[1]
     weights = (pp > 0) & pair_valid[..., None]
     x = prior_modulated_logits(logits, pp)
     loss = binary_focal_loss_with_logits(
-        x, labels, alpha=0.5, gamma=0.2, reduction="none")
-    return jnp.sum(loss * weights) / n_p
+        x, labels, alpha=alpha, gamma=gamma, reduction="none")
+    return jnp.sum(loss * weights)
 
 
 # --------------------------------------------------------------------------
@@ -308,12 +310,13 @@ def upt_forward(params, buffers, detr_post, images_clip, image_sizes,
         pair_valid = jnp.concatenate(
             [pair_valid, jnp.ones((pair_valid.shape[0], 1), bool)], axis=1)
 
-    n_p_local = jnp.sum(gt_labels * pair_valid[..., None])
-    aux["n_p_local"] = n_p_local
+    n_p = jnp.sum(gt_labels * pair_valid[..., None])
+    loss_sum = interaction_loss_sum(logits, prior, gt_labels, pair_valid,
+                                    alpha=cfg.alpha, gamma=cfg.gamma)
+    aux["n_p"] = n_p
+    aux["loss_sum"] = loss_sum
     aux["gt_labels"] = gt_labels
-    aux["loss_fn"] = None
-    loss = interaction_loss(logits, prior, gt_labels, pair_valid,
-                            jnp.maximum(n_p_local, 1.0))
+    loss = loss_sum / jnp.maximum(n_p, 1.0)
     return loss, aux
 
 
