@@ -1,0 +1,368 @@
+"""Train / evaluate / cache the HOI detector.
+
+TPU-native equivalent of /root/reference/main_tip_finetune.py: one SPMD
+program over a data mesh instead of mp.spawn+DDP; cache construction and
+unseen-feature synthesis are batched jitted passes; checkpoints are Orbax.
+
+  python -m hoigen_tpu.cli.main_finetune --data-root ./datasets ...
+  python -m hoigen_tpu.cli.main_finetune --eval true --resume <ckpt> ...
+  python -m hoigen_tpu.cli.main_finetune --cache true ...
+"""
+import os
+import sys
+
+import jax
+import numpy as np
+
+from ..data.factory import DataFactory, collate_batch
+from ..engine.checkpoint import latest_checkpoint, restore_checkpoint, \
+    save_checkpoint
+from ..engine.eval import cache_hico, cache_vcoco, evaluate_hico
+from ..engine.hoi_model import HOIModelConfig, init_hoi_model, \
+    make_eval_step, make_optimizer, make_train_step
+from ..engine.train import Trainer
+from ..labels import HICO, VCOCO_LABELS
+from ..models.cache import UPTCaches, build_gen_cache, build_global_cache, \
+    build_pair_cache, load_pair_annotations, random_caches
+from ..models.clip.config import CLIPConfig, VIT_B16
+from ..models.clip.model import encode_text, init_clip_params
+from ..models.clip.tokenizer import tokenize
+from ..models.detr import DETRConfig
+from ..models.proposals import ProposalConfig
+from ..models.upt import UPTConfig
+from ..parallel import make_mesh, replicate, shard_batch
+from ..utils.config import RunConfig, parse_config
+
+
+def _load_torch(path):
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    return obj
+
+
+def load_pretrained(cfg: RunConfig, model_cfg: HOIModelConfig, rng):
+    """Convert torch checkpoints when present; random-init otherwise."""
+    clip_params = detr_params = dino_params = None
+    if os.path.exists(cfg.clip_model_path):
+        from ..models.clip.convert import torch_state_dict_to_params
+        obj = _load_torch(cfg.clip_model_path)
+        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        clip_params, _ = torch_state_dict_to_params(
+            {k: v for k, v in sd.items()}, cfg=model_cfg.clip,
+            use_adapter=cfg.use_insadapter, adapter_pos=cfg.adapter_pos,
+            adapter_num_layers=cfg.adapter_num_layers, rng=rng)
+        print(f"[load] CLIP weights from {cfg.clip_model_path}")
+    else:
+        print(f"[warn] CLIP checkpoint missing ({cfg.clip_model_path}); "
+              "random init")
+    if os.path.exists(cfg.pretrained_detr):
+        from ..models.detr.convert import torch_detr_state_dict_to_params
+        ckpt = _load_torch(cfg.pretrained_detr)
+        sd = ckpt.get("model", ckpt.get("model_state_dict", ckpt))
+        detr_params, _ = torch_detr_state_dict_to_params(sd, model_cfg.detr)
+        print(f"[load] DETR weights from {cfg.pretrained_detr}")
+    else:
+        print(f"[warn] DETR checkpoint missing ({cfg.pretrained_detr}); "
+              "random init")
+    if cfg.dino and os.path.exists(cfg.dino_pretrained):
+        from ..models.dino import torch_dino_state_dict_to_params
+        ckpt = _load_torch(cfg.dino_pretrained)
+        sd = ckpt.get("teacher", ckpt)
+        sd = {k.replace("module.", "").replace("backbone.", ""): v
+              for k, v in sd.items()}
+        dino_params = torch_dino_state_dict_to_params(sd)
+        print(f"[load] DINO weights from {cfg.dino_pretrained}")
+    return clip_params, detr_params, dino_params
+
+
+def encode_class_texts(clip_params, clip_cfg, texts, chunk=256):
+    toks = tokenize(texts)
+    fn = jax.jit(lambda p, t: encode_text(p, t, clip_cfg))
+    outs = [np.asarray(fn(clip_params, toks[lo:lo + chunk]))
+            for lo in range(0, len(toks), chunk)]
+    emb = np.concatenate(outs, 0)
+    return emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+
+
+def build_caches(cfg: RunConfig, clip_params, model_cfg, train_factory):
+    """Pair cache from the pkl + text/object embeddings; CLIP/DINO global
+    caches from .npz if cached (utils.py save/load behavior) else random
+    placeholders when no data pass is possible."""
+    num_classes = cfg.num_classes
+    filtered = HICO.unseen_index[cfg.zs_type] if cfg.zs else []
+    labels = HICO if cfg.dataset == "hicodet" else VCOCO_LABELS
+
+    if os.path.exists(cfg.file1):
+        anno = load_pair_annotations(cfg.file1)
+        num_anno = train_factory.dataset.anno_interaction \
+            if cfg.dataset == "hicodet" else None
+        pair = build_pair_cache(
+            anno, num_classes, cfg.num_shot,
+            HICO.object_n_verb_to_interaction,
+            train_factory.dataset.object_to_verb
+            if cfg.dataset == "hicodet" else VCOCO_LABELS.object_to_verb,
+            filtered_hoi_idx=filtered, use_multi_hot=cfg.use_multi_hot,
+            label_choice=cfg.label_choice, num_anno=num_anno, seed=cfg.seed)
+        print(f"[cache] pair cache from {cfg.file1}")
+    else:
+        print(f"[warn] pair-embedding pkl missing ({cfg.file1}); random "
+              "cache — run hoigen_tpu.cli.prepare_data to produce it")
+        rc = random_caches(num_classes, cfg.num_shot)
+        pair = type("P", (), dict(cache_h=rc.cache_h, cache_o=rc.cache_o,
+                                  cache_u=rc.cache_u, one_hots=rc.one_hots,
+                                  sample_lens=rc.sample_lens,
+                                  counts=np.full(num_classes,
+                                                 cfg.num_shot)))()
+
+    # class texts
+    if num_classes == 117:
+        classnames = HICO.verbs_sentence
+    elif num_classes == 600:
+        classnames = HICO.hoi_prompts
+    else:
+        classnames = VCOCO_LABELS.verbs_sentence
+    obj_texts = [t for _, t in HICO.obj_text_label]
+    origin_text = encode_class_texts(clip_params, model_cfg.clip, classnames)
+    object_embedding = encode_class_texts(clip_params, model_cfg.clip,
+                                          obj_texts)
+
+    cache_dir = os.path.join("caches", "dataset")
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = f"{cfg.zs_type}_{cfg.num_shot}" if cfg.zs else "2shots"
+    npz = os.path.join(cache_dir, f"{cfg.dataset}_global_{tag}.npz")
+    if os.path.exists(npz) and cfg.clip_load_cache:
+        g = np.load(npz)
+        clip_keys, dino_keys = g["clip_keys"], g["dino_keys"]
+        print(f"[cache] global caches from {npz}")
+    else:
+        rc = random_caches(num_classes, cfg.num_shot, seed=cfg.seed)
+        clip_keys, dino_keys = rc.clip_global_keys, rc.dino_keys
+        print("[warn] global caches not found; random placeholders — run "
+              "prepare_data to build them from the train set")
+
+    multihot = (labels.object_class_multihot(num_classes)
+                if not cfg.zs else
+                labels.seen_object_class_multihot(num_classes, filtered))
+    return UPTCaches(
+        cache_h=pair.cache_h, cache_o=pair.cache_o, cache_u=pair.cache_u,
+        one_hots=pair.one_hots, sample_lens=pair.sample_lens,
+        clip_global_keys=clip_keys, dino_keys=dino_keys,
+        object_class_multihot=multihot,
+        object_embedding=object_embedding,
+        origin_text_embeddings=origin_text), pair
+
+
+def maybe_gen_features(cfg: RunConfig, clip_params, model_cfg, pair):
+    """Load generator checkpoints and synthesize unseen-class features
+    (main_tip_finetune.py:607-824), then build the gen cache."""
+    if not cfg.generate_feature:
+        return None, None
+    from ..models import generator as G
+    fams = {}
+    emb = clip_params["text"]["token_embedding"]
+    if cfg.dataset == "hicodet":
+        names = {"hoi": HICO.all_classnames, "human": HICO.human_name,
+                 "object": HICO.object_name}
+        hoi_to_obj, hoi_to_verb = HICO.hoi_to_object, HICO.hoi_to_verb
+        num_hoi = 600
+    else:
+        names = {"hoi": [f"{v} {o}" for v, o in VCOCO_LABELS.values],
+                 "human": VCOCO_LABELS.human_name,
+                 "object": VCOCO_LABELS.object_name}
+        hoi_to_obj = VCOCO_LABELS.hoi_to_object
+        hoi_to_verb = VCOCO_LABELS.hoi_to_verb
+        num_hoi = 236
+    ck = os.path.join(cfg.gen_ckpt_dir, cfg.dataset)
+    for fam, key in (("hoi", "hoi"), ("human", "human"),
+                     ("object", "object")):
+        n_ctx = 5 if fam == "hoi" else 4
+        gp_path = os.path.join(ck, f"{key}_netg_50.pth")
+        if os.path.exists(gp_path):
+            gen_p = G.torch_generator_state_to_params(_load_torch(gp_path))
+            ctx = G.torch_prompt_ctx_to_params(
+                _load_torch(os.path.join(ck, f"{key}_prompt_learner_50.pth")))
+            mlp_path = os.path.join(ck, f"{key}_mlp_50.pth")
+            mlp = G.torch_ship_mlp_state_to_params(_load_torch(mlp_path)) \
+                if os.path.exists(mlp_path) else None
+        else:
+            r = jax.random.PRNGKey(hash(fam) % 2 ** 31)
+            gen_p = G.init_generator_params(r)
+            ctx = G.init_prompt_ctx(jax.random.fold_in(r, 1), n_ctx)
+            mlp = None
+            print(f"[warn] generator ckpt missing for {fam}; random init")
+        fams[fam] = G.GeneratorFamily(
+            gen_p, ctx, G.build_prompt_tables(names[fam], emb, ctx.shape[0]),
+            mlp)
+    gf, gt, gv = G.synthesize_features(
+        fams, clip_params, model_cfg.clip, hoi_to_obj, hoi_to_verb, num_hoi,
+        n_rounds=cfg.gen_rounds, rng=jax.random.PRNGKey(cfg.seed))
+    hoi_to_class = (hoi_to_verb if cfg.num_classes in (117, 24)
+                    else np.arange(num_hoi))
+    gen_cache = build_gen_cache(gf, gt, hoi_to_class, cfg.num_classes,
+                                cfg.num_shot, counts=pair.counts,
+                                seed=cfg.seed)
+    return gen_cache, (gf, gt, gv)
+
+
+def make_model_config(cfg: RunConfig) -> HOIModelConfig:
+    num_detr_classes = 81 if cfg.dataset == "hicodet" else 92
+    return HOIModelConfig(
+        clip=VIT_B16 if cfg.use_insadapter else
+        CLIPConfig(use_adapter=False),
+        detr=DETRConfig(num_classes=num_detr_classes),
+        upt=UPTConfig(
+            num_classes=cfg.num_classes, num_shot=cfg.num_shot,
+            alpha=cfg.alpha, gamma=cfg.gamma,
+            fg_iou_thresh=cfg.fg_iou_thresh, hyper_lambda=cfg.hyper_lambda,
+            logits_type=cfg.logits_type, cache_model=cfg.cache_model,
+            use_clip_global=cfg.clip_global, use_dino=cfg.dino,
+            use_weight_pred=cfg.use_weight_pred,
+            use_insadapter=cfg.use_insadapter, prior_type=cfg.prior_type,
+            prior_method=cfg.prior_method,
+            proposals=ProposalConfig(
+                human_idx=cfg.human_idx,
+                box_score_thresh=cfg.box_score_thresh,
+                min_instances=cfg.min_instances,
+                max_instances=cfg.max_instances),
+            max_gt_pairs=cfg.max_gt_pairs,
+            generate_feature=cfg.generate_feature and not cfg.eval
+            and not cfg.cache),
+        dtype=cfg.dtype)
+
+
+def batches_from_factory(factory, batch_size, cfg, mesh=None, shuffle=True,
+                         seed=0):
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(factory)) if shuffle \
+        else np.arange(len(factory))
+    n = (len(order) // batch_size) * batch_size if shuffle else len(order)
+    for lo in range(0, n, batch_size):
+        idx = order[lo:lo + batch_size]
+        samples = [factory[int(i)] for i in idx]
+        batch = collate_batch(samples, cfg.max_gt_pairs)
+        d = {"images": batch.images, "image_mask": batch.image_mask,
+             "images_clip": batch.images_clip, "clip_sizes": batch.clip_sizes,
+             "boxes_h": batch.boxes_h, "boxes_o": batch.boxes_o,
+             "labels": batch.labels, "gt_valid": batch.gt_valid}
+        if mesh is not None:
+            d = shard_batch(mesh, d)
+        yield d, batch
+
+
+def main(cfg: RunConfig):
+    np.random.seed(cfg.seed)
+    rng = jax.random.PRNGKey(cfg.seed)
+    model_cfg = make_model_config(cfg)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    cfg.save(os.path.join(cfg.output_dir, "args.json"))
+
+    if cfg.dataset == "hicodet":
+        cfg.partitions = ["train2015", "test2015"]
+    else:
+        cfg.partitions = ["trainval", "test"]
+    train_factory = DataFactory(cfg.dataset, cfg.partitions[0],
+                                cfg.data_root, training=True,
+                                zero_shot=cfg.zs, zs_type=cfg.zs_type,
+                                num_classes=cfg.num_classes,
+                                max_gt_pairs=cfg.max_gt_pairs, seed=cfg.seed)
+    test_factory = DataFactory(cfg.dataset, cfg.partitions[1],
+                               cfg.data_root, training=False,
+                               max_gt_pairs=cfg.max_gt_pairs)
+
+    clip_params, detr_params, dino_params = load_pretrained(
+        cfg, model_cfg, rng)
+    if clip_params is None:
+        clip_params = init_clip_params(rng, model_cfg.clip)
+
+    caches, pair = build_caches(cfg, clip_params, model_cfg, train_factory)
+    gen_cache, gen_raw = maybe_gen_features(cfg, clip_params, model_cfg,
+                                            pair)
+    if gen_cache is not None and cfg.cache_model == "gen_feat":
+        caches.cache_h, caches.cache_o, caches.cache_u = \
+            gen_cache.cache_h, gen_cache.cache_o, gen_cache.cache_u
+        caches.one_hots, caches.sample_lens = gen_cache.one_hots, \
+            gen_cache.sample_lens
+    elif gen_cache is not None and cfg.cache_model == "cache_feat":
+        caches.cache_h = (caches.cache_h + gen_cache.cache_h) / 2
+        caches.cache_o = (caches.cache_o + gen_cache.cache_o) / 2
+        caches.cache_u = (caches.cache_u + gen_cache.cache_u) / 2
+
+    trainable, frozen, buffers = init_hoi_model(
+        rng, model_cfg, caches, clip_params=clip_params,
+        detr_params=detr_params, dino_params=dino_params)
+
+    if cfg.resume:
+        path = cfg.resume if os.path.exists(cfg.resume) \
+            else latest_checkpoint(cfg.resume)
+        if path:
+            state = restore_checkpoint(path, {"trainable": trainable})
+            trainable = state["trainable"]
+            print(f"[load] resumed trainable params from {path}")
+
+    mesh = make_mesh(n_data=cfg.devices)
+    with mesh:
+        rep = replicate(mesh)
+        trainable = jax.device_put(trainable, rep)
+        frozen = jax.device_put(frozen, rep)
+        buffers = jax.device_put(buffers, rep)
+
+        if cfg.eval or cfg.cache:
+            eval_step = jax.jit(make_eval_step(model_cfg))
+
+            def run_batches():
+                for d, batch in batches_from_factory(
+                        test_factory, cfg.batch_size, cfg, mesh,
+                        shuffle=False):
+                    out = eval_step(trainable, frozen, buffers, d)
+                    yield jax.tree.map(np.asarray, out), batch
+
+            if cfg.cache:
+                if cfg.dataset == "hicodet":
+                    cache_hico(run_batches(), test_factory.dataset,
+                               model_cfg.upt.proposals,
+                               HICO.object_n_verb_to_interaction,
+                               HICO.object_to_interaction, cfg.num_classes,
+                               cfg.output_dir)
+                else:
+                    cache_vcoco(run_batches(), test_factory.dataset,
+                                model_cfg.upt.proposals, cfg.output_dir)
+                return None
+            if cfg.dataset == "vcoco":
+                raise NotImplementedError(
+                    "V-COCO mAP uses the official toolkit on cache.pkl; "
+                    "run with --cache true (reference parity: "
+                    "main_tip_finetune.py:912)")
+            result = evaluate_hico(
+                run_batches(), test_factory.dataset, cfg.num_classes,
+                model_cfg.upt.proposals,
+                HICO.object_n_verb_to_interaction,
+                zs_unseen=HICO.unseen_index[cfg.zs_type] if cfg.zs else None)
+            print(f"The mAP is {result['mAP'] * 100:.2f}, "
+                  f"rare: {result['mAP_rare'] * 100:.2f}, "
+                  f"none-rare: {result['mAP_non_rare'] * 100:.2f}")
+            if cfg.zs:
+                print(f"zero-shot({cfg.zs_type}) "
+                      f"unseen: {result['mAP_unseen'] * 100:.2f} "
+                      f"seen: {result['mAP_seen'] * 100:.2f}")
+            return result
+
+        # training
+        steps_per_epoch = max(len(train_factory) // cfg.batch_size, 1)
+        optimizer = make_optimizer(cfg.lr_vit, cfg.lr_head, cfg.weight_decay,
+                                   cfg.lr_drop * steps_per_epoch,
+                                   cfg.clip_max_norm)(trainable)
+        step = make_train_step(model_cfg, optimizer)
+        trainer = Trainer(step, optimizer, trainable, frozen, buffers,
+                          print_interval=cfg.print_interval,
+                          output_dir=cfg.output_dir)
+        for epoch in range(cfg.epochs):
+            avg = trainer.run_epoch(
+                batches_from_factory(train_factory, cfg.batch_size, cfg,
+                                     mesh, seed=cfg.seed + epoch),
+                jax.random.fold_in(rng, epoch))
+            print(f"[epoch {epoch + 1}/{cfg.epochs}] loss {avg:.4f}")
+        return trainer
+
+
+if __name__ == "__main__":
+    main(parse_config())

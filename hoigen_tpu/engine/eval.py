@@ -88,9 +88,12 @@ def evaluate_hico(run_batches, dataset, num_classes: int,
     ap = meter.eval()
     num_gt = np.asarray(num_gt, np.float64)
     rare = num_gt < 10
-    result = {"ap": ap, "mAP": float(ap.mean()),
-              "mAP_rare": float(ap[rare].mean()),
-              "mAP_non_rare": float(ap[~rare].mean())}
+
+    def _mean(x):
+        return float(x.mean()) if len(x) else 0.0
+
+    result = {"ap": ap, "mAP": _mean(ap), "mAP_rare": _mean(ap[rare]),
+              "mAP_non_rare": _mean(ap[~rare])}
     if zs_unseen is not None:
         unseen = np.zeros(600, bool)
         unseen[np.asarray(zs_unseen)] = True
