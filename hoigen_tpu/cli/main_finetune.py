@@ -287,6 +287,17 @@ def main(cfg: RunConfig):
         caches.cache_o = (caches.cache_o + gen_cache.cache_o) / 2
         caches.cache_u = (caches.cache_u + gen_cache.cache_u) / 2
 
+    if cfg.zs and cfg.fill_zs_verb_type == 1:
+        # blend unseen classes' cache rows from seen ones by text similarity
+        # (refresh_unseen_verb_cache_mem, upt...py:609-633)
+        from ..models.cache import refresh_unseen_cache
+        unseen = HICO.unseen_index[cfg.zs_type]
+        seen = [i for i in range(cfg.num_classes) if i not in set(unseen)]
+        for attr in ("cache_h", "cache_o", "cache_u"):
+            setattr(caches, attr, refresh_unseen_cache(
+                getattr(caches, attr), pair.counts,
+                caches.origin_text_embeddings, seen, unseen, cfg.num_shot))
+
     trainable, frozen, buffers = init_hoi_model(
         rng, model_cfg, caches, clip_params=clip_params,
         detr_params=detr_params, dino_params=dino_params)
@@ -298,6 +309,23 @@ def main(cfg: RunConfig):
             state = restore_checkpoint(path, {"trainable": trainable})
             trainable = state["trainable"]
             print(f"[load] resumed trainable params from {path}")
+
+    if cfg.vis_tor != 1.0 and (cfg.eval or cfg.cache):
+        from ..models.upt import apply_vis_tor
+        trainable = apply_vis_tor(trainable, model_cfg.upt, cfg.vis_tor)
+
+    if cfg.sanity:
+        # build + run one sample end to end (sanity_check,
+        # main_tip_finetune.py:1034-1044)
+        from ..engine.hoi_model import make_train_step
+        opt = make_optimizer()(trainable)
+        step = jax.jit(make_train_step(model_cfg, opt))
+        d, _ = next(batches_from_factory(train_factory, 1, cfg))
+        _, _, metrics = step(trainable, opt.init(trainable), frozen,
+                             buffers, d, rng)
+        print(f"[sanity] one step ok: loss={float(metrics['loss']):.4f} "
+              f"n_p={float(metrics['n_p'])}")
+        return metrics
 
     mesh = make_mesh(n_data=cfg.devices)
     with mesh:

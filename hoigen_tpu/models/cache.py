@@ -271,3 +271,28 @@ def random_caches(num_classes: int, num_shot: int, num_objects: int = 80,
             (num_objects, FEATURE_DIM)).astype(np.float32),
         origin_text_embeddings=f(num_classes, FEATURE_DIM),
     )
+
+
+def refresh_unseen_cache(cache: np.ndarray, counts: np.ndarray,
+                         text_embeddings: np.ndarray,
+                         seen_idx: Sequence[int],
+                         unseen_idx: Sequence[int],
+                         num_shot: int) -> np.ndarray:
+    """Fill unseen classes' cache rows with a text-similarity-weighted blend
+    of seen classes' (last real) cache rows
+    (UPT.refresh_unseen_verb_cache_mem, upt...py:609-633, --fill_zs_verb_type
+    1). Works per feature family on the padded layout."""
+    cache = cache.copy()
+    seen = np.asarray(list(seen_idx), int)
+    text = np.asarray(text_embeddings, np.float64)
+    # last real row of each seen class's block (the reference's
+    # cumsum_sample_lens - 1 selection)
+    tmp = np.stack([cache[c * num_shot + max(int(counts[c]) - 1, 0)]
+                    for c in seen])
+    for c in unseen_idx:
+        sim = text[c] @ text[seen].T
+        w = np.exp(sim - sim.max())
+        w /= w.sum()
+        emb = w @ tmp
+        cache[c * num_shot:(c + 1) * num_shot] = emb
+    return cache.astype(np.float32)

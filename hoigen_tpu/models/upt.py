@@ -44,7 +44,11 @@ class UPTConfig:
     use_clip_global: bool = True
     use_dino: bool = True
     use_weight_pred: bool = False
+    use_mlp_proj: bool = False
     use_insadapter: bool = True
+    # fuse the two cache-scoring matmuls in VMEM (ops/pallas_cache.py);
+    # enable on real TPU, off by default so CPU tests use plain XLA
+    use_pallas_cache: bool = False
     prior_type: str = "cbe"
     prior_method: int = 0
     proposals: ProposalConfig = ProposalConfig()
@@ -124,7 +128,10 @@ def compute_prior_scores(scores, labels, pair_valid, object_class_multihot,
 # --------------------------------------------------------------------------
 # logits (compute_roi_embeddings cache math, :1149-1207)
 # --------------------------------------------------------------------------
-def _cache_branch(feats, w, b, one_hots, sample_lens):
+def _cache_branch(feats, w, b, one_hots, sample_lens, use_pallas=False):
+    if use_pallas:
+        from ..ops.pallas_cache import fused_cache_logits
+        return fused_cache_logits(feats, w, b, one_hots, sample_lens)
     phi = feats @ w.T + b
     return (phi @ one_hots) / sample_lens
 
@@ -137,27 +144,41 @@ def compute_logits(params, buffers, hum, obj, uni, feat_global, dino_feats,
     feat_global: (..., 512) normalized CLIP CLS; dino_feats: (..., 2048)
     normalized (or None). Returns (..., P, C).
     """
+    if cfg.use_weight_pred:
+        # per-pair learned branch weights (Weight_Pred MLP, :54-64,1172-1174)
+        concat = jnp.concatenate([hum, obj, uni], axis=-1)
+        w = _mlp3(params["weight_pred_1"], concat)
+        w = jax.nn.sigmoid(_mlp3(params["weight_pred_2"], w))
     if cfg.cache_model == "gen_feat":
+        up = cfg.use_pallas_cache
         lg_h = _cache_branch(hum, params["adapter_H_w"], params["adapter_H_b"],
-                             buffers["one_hots"], buffers["sample_lens"])
+                             buffers["one_hots"], buffers["sample_lens"], up)
         lg_o = _cache_branch(obj, params["adapter_O_w"], params["adapter_O_b"],
-                             buffers["one_hots"], buffers["sample_lens"])
+                             buffers["one_hots"], buffers["sample_lens"], up)
         lg_u = _cache_branch(uni, params["adapter_U_w"], params["adapter_U_b"],
-                             buffers["one_hots"], buffers["sample_lens"])
+                             buffers["one_hots"], buffers["sample_lens"], up)
         logits = (lg_h * params["logit_scale_H"]
                   + lg_o * params["logit_scale_O"]
                   + lg_u * params["logit_scale_U"])
     else:  # cache_feat: concatenated human+object cache + union cache (:1166-1170)
         ho = jnp.concatenate([hum, obj], axis=-1)
+        up = cfg.use_pallas_cache
         lg_ho = _cache_branch(ho, params["adapter_HO_w"],
                               params["adapter_HO_b"], buffers["one_hots"],
-                              buffers["sample_lens"]) / 2.0
+                              buffers["sample_lens"], up) / 2.0
         lg_u = _cache_branch(uni, params["adapter_U_w"], params["adapter_U_b"],
-                             buffers["one_hots"], buffers["sample_lens"])
-        logits = lg_ho * params["logit_scale_HO"] \
-            + lg_u * params["logit_scale_U"]
+                             buffers["one_hots"], buffers["sample_lens"], up)
+        if cfg.use_weight_pred:
+            logits = lg_ho * w[..., 0:1] + lg_u * w[..., 1:2]
+        else:
+            logits = lg_ho * params["logit_scale_HO"] \
+                + lg_u * params["logit_scale_U"]
     if "T" in cfg.logits_type:
-        logits = logits + (uni @ params["text_w"].T) * params["logit_scale_T"]
+        lg_t = uni @ params["text_w"].T
+        if cfg.use_weight_pred:
+            logits = logits + lg_t * w[..., 2:3]
+        else:
+            logits = logits + lg_t * params["logit_scale_T"]
     if cfg.use_clip_global:
         aff = feat_global @ params["global_cache"] + params["global_cache_bias"]
         lg_g = (aff @ buffers["global_values"]) / buffers["global_sample_len"]
@@ -239,6 +260,9 @@ def upt_forward(params, buffers, detr_post, images_clip, image_sizes,
         prior=clip_prior[0], prior_mask=clip_prior[1], rng=rng)
     feat_global = feat_global / jnp.linalg.norm(feat_global, axis=-1,
                                                 keepdims=True)
+    if cfg.use_mlp_proj:
+        # 3-layer MLP over the channels-last local map (:1621-1624)
+        feat_local = _mlp3(params["mlp_proj"], feat_local)
 
     dino_feats = None
     if cfg.use_dino and dino_apply is not None:
@@ -374,6 +398,26 @@ def init_upt_params(rng, cfg: UPTConfig, caches, clip_params):
         "text_w": jnp.asarray(caches.origin_text_embeddings),
         "logit_scale_T": jnp.asarray(log_1_007),
     }
+    if cfg.use_weight_pred:
+        # Weight_Pred (:54-64): MLP(3*512 -> 512 -> 128), MLP(128 -> 32 -> n)
+        n_branch = len(cfg.logits_type.split("+"))
+        d = cfg.visual_output_dim
+
+        def mlp2_init(r, dims):
+            return [
+                {"w": jax.random.uniform(
+                    jax.random.fold_in(r, i),
+                    (dims[i + 1], dims[i]), jnp.float32,
+                    -1 / np.sqrt(dims[i]), 1 / np.sqrt(dims[i])),
+                 "b": jnp.zeros(dims[i + 1])} for i in range(2)]
+
+        params["weight_pred_1"] = mlp2_init(ks[1], (3 * d, 512, 128))
+        params["weight_pred_2"] = mlp2_init(
+            jax.random.fold_in(ks[1], 9), (128, 32, n_branch))
+    if cfg.use_mlp_proj:
+        params["mlp_proj"] = mlp3_init(
+            jax.random.fold_in(ks[1], 11), (cfg.visual_output_dim, 512, 512,
+                                            cfg.visual_output_dim))
     if cfg.cache_model == "gen_feat":
         params.update({
             "adapter_H_w": jnp.asarray(caches.cache_h),
@@ -420,3 +464,15 @@ def init_upt_params(rng, cfg: UPTConfig, caches, clip_params):
         "origin_text_embeddings": jnp.asarray(caches.origin_text_embeddings),
     }
     return params, buffers
+
+
+def apply_vis_tor(params, cfg: UPTConfig, vis_tor: float):
+    """Eval-time logit-scale multiplier (--vis_tor,
+    main_tip_finetune.py:895-897)."""
+    if vis_tor == 1.0:
+        return params
+    params = dict(params)
+    for k in ("logit_scale_HO", "logit_scale_U"):
+        if k in params:
+            params[k] = params[k] * vis_tor
+    return params

@@ -1,0 +1,100 @@
+"""Fused Tip-Adapter cache scoring as a Pallas TPU kernel.
+
+The cache branch computes logits = ((X @ W^T + b) @ L) / s
+(upt...py:1156-1170) — two chained matmuls whose (N, R) affinity
+intermediate XLA materializes in HBM between them. This kernel keeps the
+affinity tile in VMEM: one grid step loads an X row-tile, runs both MXU
+contractions back to back, and writes only the (tile, C) logits.
+
+Shapes (flagship): X (B*450, 512|1024), W (1200, D), L (1200, 600),
+s (600,): W+L ≈ 5.3 MB — comfortably VMEM-resident across the whole grid.
+
+A custom VJP recomputes the backward with plain einsums (the branch is
+trained: W and b are parameters, L and s are frozen buffers).
+
+Measured on v5e (flagship eval shapes, N=3600): numerically correct
+(6.6e-4 vs the bf16 XLA path) but not faster yet — this kernel accumulates
+in f32 while XLA's unfused matmuls run bf16 on the MXU. Kept opt-in
+(UPTConfig.use_pallas_cache) pending a bf16-accumulation variant.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 256
+
+
+def _kernel(x_ref, w_ref, b_ref, l_ref, s_ref, out_ref):
+    phi = jnp.dot(x_ref[:], w_ref[:].T, preferred_element_type=jnp.float32)
+    phi = phi + b_ref[:]
+    logits = jnp.dot(phi, l_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = logits / s_ref[:]
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _fused_forward(x, w, b, l, s, interpret=False):
+    n, d = x.shape
+    r, c = l.shape
+    n_pad = _round_up(max(n, 8), TILE_N)
+    x_p = jnp.pad(x, ((0, n_pad - n), (0, 0))).astype(jnp.float32)
+    grid = (n_pad // TILE_N,)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_N, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_N, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        interpret=interpret,
+    )(x_p, w.astype(jnp.float32), b.reshape(1, -1).astype(jnp.float32),
+      l.astype(jnp.float32), s.reshape(1, -1).astype(jnp.float32))
+    return out[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_cache_logits(x, w, b, l, s, interpret=False):
+    """((x @ w.T + b) @ l) / s with the intermediate fused in VMEM.
+
+    x: (..., N, D); w: (R, D); b: (R,); l: (R, C); s: (C,).
+    Gradients flow to x, w, b (l and s are frozen buffers -> zero grads).
+    """
+    lead = x.shape[:-1]
+    out = _fused_forward(x.reshape(-1, x.shape[-1]), w, b, l, s, interpret)
+    return out.reshape(*lead, l.shape[1])
+
+
+def _fwd(x, w, b, l, s, interpret=False):
+    return fused_cache_logits(x, w, b, l, s, interpret), (x, w, b, l, s)
+
+
+def _bwd(interpret, res, g):
+    x, w, b, l, s = res
+    gs = g / s                                   # (..., N, C)
+    g_phi = jnp.einsum("...nc,rc->...nr", gs, l)
+    dx = jnp.einsum("...nr,rd->...nd", g_phi, w).astype(x.dtype)
+    flat_gphi = g_phi.reshape(-1, w.shape[0])
+    flat_x = x.reshape(-1, x.shape[-1])
+    dw = jnp.einsum("nr,nd->rd", flat_gphi, flat_x).astype(w.dtype)
+    db = flat_gphi.sum(0).astype(b.dtype)
+    return dx, dw, db, jnp.zeros_like(l), jnp.zeros_like(s)
+
+
+fused_cache_logits.defvjp(_fwd, _bwd)
+
+
+def cache_logits_reference(x, w, b, l, s):
+    """Plain-XLA reference (identical math, unfused)."""
+    return ((x @ w.T + b) @ l) / s

@@ -182,3 +182,33 @@ def test_cli_config_roundtrip(tmp_path):
     cfg.save(str(tmp_path / "args.json"))
     saved = json.load(open(tmp_path / "args.json"))
     assert saved["batch_size"] == 8
+
+
+def test_detection_prep_and_eval(synthetic_hicodet, tmp_path):
+    """GT detections dumped as perfect predictions -> detection AP == 1 for
+    annotated classes (detections prep/eval utilities)."""
+    from hoigen_tpu.data.detections import (eval_detections,
+                                            generate_gt_detections)
+    factory = DataFactory("hicodet", "test2015", synthetic_hicodet,
+                          training=False)
+    out = str(tmp_path / "gt_dets")
+    generate_gt_detections(factory.dataset, out)
+    ap = eval_detections(out, factory.dataset, num_classes=80)
+    seen = set()
+    for i in range(len(factory.dataset)):
+        t = factory.dataset.target(i)
+        seen.add(0)
+        seen.update(np.asarray(t["object"]).tolist())
+    got = ap[sorted(seen)]
+    assert (got > 0.99).all(), got
+
+
+def test_step_timer():
+    from hoigen_tpu.engine.profiling import StepTimer
+    import jax.numpy as jnp
+    import jax
+    t = StepTimer()
+    f = jax.jit(lambda x: x * 2)
+    for _ in range(3):
+        t.timed(f, jnp.ones(4))
+    assert t.mean > 0 and np.isfinite(t.p50)

@@ -251,3 +251,52 @@ def test_roi_align_batched():
                            1 / 16.0)
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(single),
                                atol=1e-6)
+
+
+# --------------------------------------------------------- pallas cache ----
+def test_fused_cache_logits_interpret():
+    """Pallas fused cache scoring vs plain XLA (interpreter mode on CPU),
+    forward and gradients."""
+    import jax
+    import functools
+    from hoigen_tpu.ops.pallas_cache import (_fused_forward,
+                                             cache_logits_reference)
+    rng = np.random.default_rng(11)
+    n, d, r, c = 70, 128, 256, 384     # deliberately non-tile-multiple N
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    w = rng.normal(size=(r, d)).astype(np.float32) * 0.1
+    b = -np.ones(r, np.float32)
+    l = (rng.random((r, c)) < 0.05).astype(np.float32)
+    s = l.sum(0) + 1.0
+    out = np.asarray(_fused_forward(jnp.asarray(x), jnp.asarray(w),
+                                    jnp.asarray(b), jnp.asarray(l),
+                                    jnp.asarray(s), interpret=True))
+    ref = np.asarray(cache_logits_reference(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), jnp.asarray(l),
+        jnp.asarray(s)))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_fused_cache_logits_grads():
+    import jax
+    from hoigen_tpu.ops.pallas_cache import (fused_cache_logits,
+                                             cache_logits_reference)
+    rng = np.random.default_rng(12)
+    n, d, r, c = 16, 32, 24, 40
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(r,)).astype(np.float32))
+    l = jnp.asarray((rng.random((r, c)) < 0.2).astype(np.float32))
+    s = jnp.asarray(l.sum(0) + 1.0)
+
+    def loss_fused(x_, w_, b_):
+        return (fused_cache_logits(x_, w_, b_, l, s, True) ** 2).sum()
+
+    def loss_ref(x_, w_, b_):
+        return (cache_logits_reference(x_, w_, b_, l, s) ** 2).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-3)
