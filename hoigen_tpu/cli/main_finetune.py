@@ -140,9 +140,16 @@ def build_caches(cfg: RunConfig, clip_params, model_cfg, train_factory):
         print("[warn] global caches not found; random placeholders — run "
               "prepare_data to build them from the train set")
 
-    multihot = (labels.object_class_multihot(num_classes)
-                if not cfg.zs else
-                labels.seen_object_class_multihot(num_classes, filtered))
+    if cfg.dataset == "hicodet":
+        multihot = (HICO.object_class_multihot(num_classes)
+                    if not cfg.zs else
+                    HICO.seen_object_class_multihot(num_classes, filtered))
+    else:
+        # V-COCO object ids are 1-based (0 = background) while detector
+        # labels are 0-based person-first; shift rows so multihot[label]
+        # indexes the right object class
+        m = VCOCO_LABELS.object_class_multihot(num_classes)
+        multihot = m[1:]
     return UPTCaches(
         cache_h=pair.cache_h, cache_o=pair.cache_o, cache_u=pair.cache_u,
         one_hots=pair.one_hots, sample_lens=pair.sample_lens,
