@@ -67,3 +67,26 @@ def test_entry_compiles_tiny():
     out = step(trainable, frozen, buffers, batch)
     assert out["detection_scores"].shape[0] == 2
     assert bool(jnp.isfinite(out["detection_scores"]).all())
+
+
+def test_training_reduces_loss_tiny_flagship():
+    """A few optimizer steps on the tiny flagship (with the gen-feature
+    branch providing positives) reduce the interaction loss."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    from hoigen_tpu.engine.hoi_model import (make_example_batch,
+                                             make_optimizer, make_train_step)
+    cfg, trainable, frozen, buffers, detr_hw = ge._flagship(tiny=True)
+    opt = make_optimizer()(trainable)
+    opt_state = opt.init(trainable)
+    step = jax.jit(make_train_step(cfg, opt))
+    batch = make_example_batch(cfg, batch_size=4, detr_hw=detr_hw)
+    losses = []
+    for i in range(8):
+        trainable, opt_state, metrics = step(
+            trainable, opt_state, frozen, buffers, batch,
+            jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses

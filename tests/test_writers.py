@@ -1,0 +1,148 @@
+"""Official-format result writers: HICO-DET .mat and V-COCO pickle round
+trips, plus a V-COCO synthetic dataset fixture through factory/collate."""
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from hoigen_tpu.data import DataFactory, collate_batch
+from hoigen_tpu.engine.eval import cache_hico, cache_vcoco
+from hoigen_tpu.labels import HICO
+from hoigen_tpu.models.proposals import ProposalConfig, pair_indices
+
+
+@pytest.fixture(scope="module")
+def synthetic_vcoco(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp("vcoco_data")
+    rng = np.random.default_rng(1)
+    img_dir = root / "images" / "val2014"
+    img_dir.mkdir(parents=True)
+    annos, images = [], []
+    actions = [f"verb{i} obj" for i in range(24)]
+    objects = ["background"] + [f"obj{i}" for i in range(80)]
+    for i in range(4):
+        w, h = 100, 80
+        name = f"COCO_val2014_{i:012d}.jpg"
+        Image.fromarray(rng.integers(0, 255, (h, w, 3),
+                                     dtype=np.uint8)).save(img_dir / name)
+        n = int(rng.integers(1, 3))
+        annos.append({
+            "boxes_h": [[5, 5, 40, 60]] * n,
+            "boxes_o": [[30, 10, 90, 70]] * n,
+            "actions": rng.integers(0, 24, n).tolist(),
+            "objects": rng.integers(1, 81, n).tolist(),
+            "file_name": name})
+        images.append(1000 + i)
+    inst = {"annotations": annos, "classes": actions, "objects": objects,
+            "images": images,
+            "action_to_object": [[1] for _ in range(24)]}
+    with open(root / "instances_vcoco_test.json", "w") as f:
+        json.dump(inst, f)
+    return str(root)
+
+
+def _fake_outputs(batch, p_cfg, num_classes):
+    px, py = (np.asarray(x) for x in pair_indices(p_cfg))
+    b = batch.images_clip.shape[0]
+    scores = np.zeros((b, p_cfg.n_pairs, num_classes), np.float32)
+    boxes = np.zeros((b, p_cfg.n_slots, 4), np.float32)
+    objects = np.zeros((b, p_cfg.n_pairs), np.int64)
+    rng = np.random.default_rng(0)
+    for i in range(b):
+        boxes[i, 0] = [10, 10, 100, 150]
+        boxes[i, p_cfg.max_instances] = [50, 30, 200, 180]
+        pair_pos = np.nonzero((px == 0) & (py == p_cfg.max_instances))[0][0]
+        for c in rng.integers(0, num_classes, 3):
+            scores[i, pair_pos, c] = rng.random() * 0.9 + 0.05
+        objects[i, pair_pos] = int(rng.integers(0, 80))
+    return {"detection_scores": scores, "boxes": boxes, "objects": objects}
+
+
+def test_vcoco_factory_and_cache_writer(synthetic_vcoco, tmp_path):
+    factory = DataFactory("vcoco", "test", synthetic_vcoco, training=False,
+                          max_gt_pairs=8)
+    assert len(factory) == 4
+    p_cfg = ProposalConfig(max_instances=3)
+
+    def run_batches():
+        for i in range(len(factory)):
+            batch = collate_batch([factory[i]], max_gt_pairs=8)
+            yield _fake_outputs(batch, p_cfg, 24), batch
+
+    out_dir = str(tmp_path / "vcoco_cache")
+    cache_vcoco(run_batches(), factory.dataset, p_cfg, out_dir)
+    with open(os.path.join(out_dir, "cache.pkl"), "rb") as f:
+        results = pickle.load(f)
+    assert results
+    r = results[0]
+    assert "image_id" in r and "person_box" in r
+    # CacheTemplate defaults: missing agent -> 0.0, missing role -> tiny box
+    assert r["nonexistent_agent"] == 0.0
+    assert r["nonexistent_role"] == [0.0, 0.0, 0.1, 0.1, 0.0]
+
+
+def test_hico_mat_writer(tmp_path):
+    import scipy.io as sio
+    # reuse the synthetic hicodet fixture machinery inline
+    import sys
+    sys.path.insert(0, "tests")
+    from test_integration import synthetic_hicodet  # noqa: F401
+    root = None
+    # build a minimal factory via the fixture function body replica
+    # (fixtures aren't callable across modules; construct a fresh dataset)
+    from test_integration import json as _json  # noqa
+    # simpler: build from scratch
+    import numpy as _np
+    from PIL import Image
+    rng = _np.random.default_rng(3)
+    base = tmp_path / "hico"
+    img_dir = base / "hico_20160224_det" / "images" / "test2015"
+    img_dir.mkdir(parents=True)
+    corr = HICO.class_corr
+    filenames, sizes, annos = [], [], []
+    for i in range(3):
+        w, h = 120, 90
+        name = f"HICO_test2015_{i:08d}.jpg"
+        Image.fromarray(rng.integers(0, 255, (h, w, 3),
+                                     dtype=_np.uint8)).save(img_dir / name)
+        filenames.append(name)
+        sizes.append([w, h])
+        hoi, obj, verb = corr[int(rng.integers(0, 600))]
+        annos.append({"boxes_h": [[5, 5, 50, 60]], "boxes_o":
+                      [[20, 10, 100, 80]], "hoi": [hoi], "verb": [verb],
+                      "object": [obj]})
+    inst = {"annotation": annos, "filenames": filenames, "empty": [],
+            "objects": HICO.objects, "verbs": HICO.verbs,
+            "correspondence": corr, "size": sizes}
+    with open(base / "instances_test2015.json", "w") as f:
+        json.dump(inst, f)
+    factory = DataFactory("hicodet", "test2015", str(base), training=False,
+                          max_gt_pairs=8)
+    p_cfg = ProposalConfig(max_instances=3)
+
+    def run_batches():
+        for i in range(len(factory)):
+            batch = collate_batch([factory[i]], max_gt_pairs=8)
+            yield _fake_outputs(batch, p_cfg, 600), batch
+
+    out_dir = str(tmp_path / "matlab")
+    cache_hico(run_batches(), factory.dataset, p_cfg,
+               HICO.object_n_verb_to_interaction,
+               HICO.object_to_interaction, 600, out_dir)
+    mats = sorted(os.listdir(out_dir))
+    assert len(mats) == 80 and mats[0] == "detections_01.mat"
+    m = sio.loadmat(os.path.join(out_dir, mats[0]))
+    assert "all_boxes" in m
+    # any written detection row has 9 columns (4+4 boxes + score)
+    found = False
+    for f in mats:
+        m = sio.loadmat(os.path.join(out_dir, f))
+        arr = m["all_boxes"]
+        for cell in arr.flat:
+            if getattr(cell, "size", 0):
+                assert cell.shape[1] == 9
+                found = True
+    assert found
