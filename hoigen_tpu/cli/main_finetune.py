@@ -75,12 +75,32 @@ def load_pretrained(cfg: RunConfig, model_cfg: HOIModelConfig, rng):
     return clip_params, detr_params, dino_params
 
 
-def encode_class_texts(clip_params, clip_cfg, texts, chunk=256):
-    toks = tokenize(texts)
+PROMPT_TEMPLATES = [
+    "a photo of a person {}.", "a video of a person {}.",
+    "a example of a person {}.", "a demonstration of a person {}.",
+    "a photo of the person {}.", "a video of the person {}.",
+    "a example of the person {}.", "a demonstration of the person {}.",
+]  # get_multi_prompts (upt...py:1667-1685)
+
+
+def encode_class_texts(clip_params, clip_cfg, texts, chunk=256,
+                       use_templates=False):
+    """Frozen-CLIP class text embeddings (get_origin_text_emb,
+    upt...py:1687-1709). With use_templates, each class is the mean over the
+    8 person-action templates applied to the text after its 5th word."""
+    if use_templates:
+        stripped = [" ".join(t.split(" ")[5:]) for t in texts]
+        all_texts = [tmpl.format(s) for tmpl in PROMPT_TEMPLATES
+                     for s in stripped]
+    else:
+        all_texts = list(texts)
+    toks = tokenize(all_texts)
     fn = jax.jit(lambda p, t: encode_text(p, t, clip_cfg))
     outs = [np.asarray(fn(clip_params, toks[lo:lo + chunk]))
             for lo in range(0, len(toks), chunk)]
     emb = np.concatenate(outs, 0)
+    if use_templates:
+        emb = emb.reshape(len(PROMPT_TEMPLATES), len(texts), -1).mean(0)
     return emb / np.linalg.norm(emb, axis=-1, keepdims=True)
 
 
@@ -122,7 +142,8 @@ def build_caches(cfg: RunConfig, clip_params, model_cfg, train_factory):
     else:
         classnames = VCOCO_LABELS.verbs_sentence
     obj_texts = [t for _, t in HICO.obj_text_label]
-    origin_text = encode_class_texts(clip_params, model_cfg.clip, classnames)
+    origin_text = encode_class_texts(clip_params, model_cfg.clip, classnames,
+                                     use_templates=cfg.use_templates)
     object_embedding = encode_class_texts(clip_params, model_cfg.clip,
                                           obj_texts)
 
@@ -225,6 +246,7 @@ def make_model_config(cfg: RunConfig) -> HOIModelConfig:
             use_clip_global=cfg.clip_global, use_dino=cfg.dino,
             use_weight_pred=cfg.use_weight_pred,
             use_insadapter=cfg.use_insadapter, prior_type=cfg.prior_type,
+            use_mlp_proj=cfg.use_mlp_proj, obj_affordance=cfg.obj_affordance,
             prior_method=cfg.prior_method,
             proposals=ProposalConfig(
                 human_idx=cfg.human_idx,

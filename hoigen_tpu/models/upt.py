@@ -45,6 +45,7 @@ class UPTConfig:
     use_dino: bool = True
     use_weight_pred: bool = False
     use_mlp_proj: bool = False
+    obj_affordance: bool = False
     use_insadapter: bool = True
     # fuse the two cache-scoring matmuls in VMEM (ops/pallas_cache.py);
     # enable on real TPU, off by default so CPU tests use plain XLA
@@ -83,13 +84,33 @@ def _mlp3(params, x):
     return x
 
 
+def object_affordances(params, buffers, cfg: UPTConfig):
+    """Per-object affordance embeddings: a learnable query cross-attends to
+    each object's valid-verb text embeddings (get_obj_affordances,
+    upt...py:1429-1443). Computed once per step for all object classes;
+    padding verbs are masked."""
+    from .clip.model import mha
+    m = buffers["object_class_multihot"] > 0               # (O, C)
+    text = buffers["origin_text_embeddings"]               # (C, D)
+    n_obj = m.shape[0]
+    # keys: every class embedding, masked per object
+    keys = jnp.broadcast_to(text[None], (n_obj, *text.shape))
+    query = jnp.broadcast_to(params["obj_affordance_query"],
+                             (n_obj, 1, text.shape[-1]))
+    out = mha(params["obj_affordance_attn"], query, keys, num_heads=1,
+              key_padding_mask=~m)
+    return out[:, 0, :]                                    # (O, D)
+
+
 def compute_priors(params, boxes, scores, labels, valid, image_sizes,
-                   object_embedding, cfg: UPTConfig):
+                   object_embedding, cfg: UPTConfig, buffers=None):
     """-> (prior tokens (B, S, 64), key-padding mask (B, S) True=pad)."""
     h = image_sizes[:, 0:1]
     w = image_sizes[:, 1:2]
     scale = jnp.concatenate([w, h, w, h], axis=1)[:, None, :]
     nb = boxes / scale.astype(boxes.dtype)
+    if cfg.obj_affordance and buffers is not None:
+        object_embedding = object_affordances(params, buffers, cfg)
     obj_emb = object_embedding[labels]                     # (B, S, 512)
     if cfg.prior_type == "cbe":
         feats = jnp.concatenate([scores[..., None], nb, obj_emb], axis=-1)
@@ -251,7 +272,7 @@ def upt_forward(params, buffers, detr_post, images_clip, image_sizes,
 
     prior_tokens, prior_mask = compute_priors(
         params, boxes, scores, labels, valid, image_sizes,
-        buffers["object_embedding"], cfg)
+        buffers["object_embedding"], cfg, buffers=buffers)
 
     clip_prior = (prior_tokens, prior_mask) if cfg.use_insadapter else (None,
                                                                         None)
@@ -418,6 +439,18 @@ def init_upt_params(rng, cfg: UPTConfig, caches, clip_params):
         params["mlp_proj"] = mlp3_init(
             jax.random.fold_in(ks[1], 11), (cfg.visual_output_dim, 512, 512,
                                             cfg.visual_output_dim))
+    if cfg.obj_affordance:
+        # learnable query + 1-head attention (upt...py:598-600)
+        d = cfg.visual_output_dim
+        r = jax.random.fold_in(ks[1], 13)
+        params["obj_affordance_query"] = jax.random.normal(r, (1, d)) * d ** -0.5
+        params["obj_affordance_attn"] = {
+            "w_qkv": jax.random.normal(jax.random.fold_in(r, 1),
+                                       (3 * d, d)) * d ** -0.5,
+            "b_qkv": jnp.zeros(3 * d),
+            "w_out": jax.random.normal(jax.random.fold_in(r, 2),
+                                       (d, d)) * d ** -0.5,
+            "b_out": jnp.zeros(d)}
     if cfg.cache_model == "gen_feat":
         params.update({
             "adapter_H_w": jnp.asarray(caches.cache_h),

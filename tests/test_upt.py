@@ -221,3 +221,35 @@ def test_upt_train_loss_and_grads(tiny_upt):
     assert g_ad.shape == (64, 64)
     g_text = grads["text_w"]
     assert float(jnp.abs(g_text).max()) > 0
+
+
+def test_obj_affordance_and_optional_branches():
+    """use_weight_pred + use_mlp_proj + obj_affordance variants run and
+    stay finite through the train forward."""
+    from hoigen_tpu.models.cache import random_caches
+    from hoigen_tpu.models.clip.model import init_clip_params
+    cfg = UPTConfig(num_classes=7, num_shot=2,
+                    proposals=ProposalConfig(max_instances=3),
+                    clip_resolution=32, use_dino=False,
+                    cache_model="cache_feat", max_gt_pairs=4,
+                    use_weight_pred=True, use_mlp_proj=True,
+                    obj_affordance=True)
+    caches = random_caches(7, 2, num_objects=10, seed=0)
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY_CLIP)
+    params, buffers = init_upt_params(jax.random.PRNGKey(1), cfg, caches,
+                                      clip_params)
+    assert "weight_pred_1" in params and "mlp_proj" in params
+    assert "obj_affordance_query" in params
+    rng = np.random.default_rng(7)
+    det, images, sizes = _fake_inputs(rng, 2)
+    g = 4
+    targets = {
+        "boxes_h": jnp.asarray(rng.random((2, g, 4), np.float32) * 0.3 + 0.2),
+        "boxes_o": jnp.asarray(rng.random((2, g, 4), np.float32) * 0.3 + 0.2),
+        "labels": jnp.asarray(rng.integers(0, 7, (2, g))),
+        "valid": jnp.asarray(np.ones((2, g), bool)),
+    }
+    loss, aux = jax.jit(lambda p: upt_forward(
+        p, buffers, det, images, sizes, TINY_CLIP, cfg, targets=targets,
+        training=True))(params)
+    assert bool(jnp.isfinite(loss))
