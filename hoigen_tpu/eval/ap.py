@@ -158,3 +158,20 @@ class DetectionAPMeter:
         self._scores = [[] for _ in range(self.num_cls)]
         self._labels = [[] for _ in range(self.num_cls)]
         self.max_rec[:] = 0.0
+
+
+def classification_ap(output: np.ndarray, labels: np.ndarray,
+                      num_gt: Optional[Sequence] = None,
+                      algorithm: str = "AUC") -> np.ndarray:
+    """Classification-setting AP: scores of all classes retained per sample
+    (AveragePrecisionMeter, meters.py:143-413). output/labels: (N, K)."""
+    output = np.asarray(output, np.float64)
+    labels = np.asarray(labels, np.float64)
+    alg = _ALGORITHMS[algorithm]
+    k = output.shape[1]
+    ap = np.zeros(k, np.float64)
+    for c in range(k):
+        ngt = None if num_gt is None else num_gt[c]
+        prec, rec = _pr_curve(output[:, c], labels[:, c], ngt)
+        ap[c] = alg(prec, rec)
+    return ap

@@ -157,3 +157,26 @@ def test_box_iou_pixel_encoding():
     assert box_iou(a, a, "pixel")[0, 0] == 1.0
     b = np.array([[0, 0, 4, 9]], np.float64)   # 5x10
     assert abs(box_iou(a, b, "pixel")[0, 0] - 0.5) < 1e-12
+
+
+def test_classification_ap_parity(ref_meters):
+    # NB: the reference meter's eval() spins a multiprocessing spawn pool
+    # (meters.py:314) which hangs under pytest on this 1-core box, so the
+    # oracle calls its per-class static methods directly.
+    import torch
+    from hoigen_tpu.eval.ap import classification_ap
+    rng = np.random.default_rng(9)
+    n, k = 400, 6
+    output = rng.random((n, k))
+    labels = (rng.random((n, k)) < 0.3).astype(np.float64)
+    M = ref_meters.AveragePrecisionMeter
+    handles = {"AUC": M.compute_per_class_ap_as_auc,
+               "11P": M.compute_per_class_ap_with_11_point_interpolation,
+               "INT": M.compute_per_class_ap_with_interpolation}
+    prec, rec = M.compute_precision_and_recall(
+        torch.from_numpy(output), torch.from_numpy(labels))
+    for alg, h in handles.items():
+        ours = classification_ap(output, labels, algorithm=alg)
+        ref = np.asarray([float(h((prec[:, c], rec[:, c])))
+                          for c in range(k)])
+        np.testing.assert_allclose(ours, ref, atol=1e-10)
