@@ -36,7 +36,8 @@ def main():
     # bf16 towers (frozen DETR/DINO convs + CLIP blocks) with fp32
     # LayerNorms and fp32 head math: +33% over f32 activations (HBM
     # bandwidth; matmuls already run bf16 on the MXU either way)
-    cfg = HOIModelConfig(upt=UPTConfig(num_classes=600, num_shot=2),
+    cfg = HOIModelConfig(upt=UPTConfig(num_classes=600, num_shot=2,
+                                       use_pallas_cache=True),
                          dtype="bfloat16")
     caches = random_caches(600, 2, num_objects=80)
     log("bench: init params...")

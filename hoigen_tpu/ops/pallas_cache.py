@@ -12,10 +12,10 @@ s (600,): W+L ≈ 5.3 MB — comfortably VMEM-resident across the whole grid.
 A custom VJP recomputes the backward with plain einsums (the branch is
 trained: W and b are parameters, L and s are frozen buffers).
 
-Measured on v5e (flagship eval shapes, N=3600): numerically correct
-(6.6e-4 vs the bf16 XLA path) but not faster yet — this kernel accumulates
-in f32 while XLA's unfused matmuls run bf16 on the MXU. Kept opt-in
-(UPTConfig.use_pallas_cache) pending a bf16-accumulation variant.
+Measured on v5e at batch-16 eval shapes (N=7200, R=1200, C=600): with
+bf16 MXU inputs (f32 accumulation) this kernel runs 324us vs 1534us for
+the unfused XLA pair — 4.7x — with an identical reduction sum. Enabled in
+the flagship eval path via UPTConfig.use_pallas_cache.
 """
 import functools
 
@@ -30,7 +30,8 @@ TILE_N = 256
 def _kernel(x_ref, w_ref, b_ref, l_ref, s_ref, out_ref):
     phi = jnp.dot(x_ref[:], w_ref[:].T, preferred_element_type=jnp.float32)
     phi = phi + b_ref[:]
-    logits = jnp.dot(phi, l_ref[:], preferred_element_type=jnp.float32)
+    logits = jnp.dot(phi.astype(l_ref.dtype), l_ref[:],
+                     preferred_element_type=jnp.float32)
     out_ref[:] = logits / s_ref[:]
 
 
@@ -38,11 +39,13 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _fused_forward(x, w, b, l, s, interpret=False):
+def _fused_forward(x, w, b, l, s, interpret=False, compute_dtype=jnp.float32):
+    """compute_dtype: MXU input dtype (bf16 halves VMEM/HBM traffic;
+    accumulation stays f32 via preferred_element_type)."""
     n, d = x.shape
     r, c = l.shape
     n_pad = _round_up(max(n, 8), TILE_N)
-    x_p = jnp.pad(x, ((0, n_pad - n), (0, 0))).astype(jnp.float32)
+    x_p = jnp.pad(x, ((0, n_pad - n), (0, 0))).astype(compute_dtype)
     grid = (n_pad // TILE_N,)
     out = pl.pallas_call(
         _kernel,
@@ -59,28 +62,32 @@ def _fused_forward(x, w, b, l, s, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
         interpret=interpret,
-    )(x_p, w.astype(jnp.float32), b.reshape(1, -1).astype(jnp.float32),
-      l.astype(jnp.float32), s.reshape(1, -1).astype(jnp.float32))
+    )(x_p, w.astype(compute_dtype), b.reshape(1, -1).astype(jnp.float32),
+      l.astype(compute_dtype), s.reshape(1, -1).astype(jnp.float32))
     return out[:n]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_cache_logits(x, w, b, l, s, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_cache_logits(x, w, b, l, s, interpret=False,
+                       compute_dtype=jnp.float32):
     """((x @ w.T + b) @ l) / s with the intermediate fused in VMEM.
 
     x: (..., N, D); w: (R, D); b: (R,); l: (R, C); s: (C,).
-    Gradients flow to x, w, b (l and s are frozen buffers -> zero grads).
+    compute_dtype=bfloat16 halves MXU-input traffic (accumulation stays
+    f32). Gradients flow to x, w, b (l and s are frozen buffers).
     """
     lead = x.shape[:-1]
-    out = _fused_forward(x.reshape(-1, x.shape[-1]), w, b, l, s, interpret)
+    out = _fused_forward(x.reshape(-1, x.shape[-1]), w, b, l, s, interpret,
+                         compute_dtype)
     return out.reshape(*lead, l.shape[1])
 
 
-def _fwd(x, w, b, l, s, interpret=False):
-    return fused_cache_logits(x, w, b, l, s, interpret), (x, w, b, l, s)
+def _fwd(x, w, b, l, s, interpret=False, compute_dtype=jnp.float32):
+    return fused_cache_logits(x, w, b, l, s, interpret, compute_dtype), \
+        (x, w, b, l, s)
 
 
-def _bwd(interpret, res, g):
+def _bwd(interpret, compute_dtype, res, g):
     x, w, b, l, s = res
     gs = g / s                                   # (..., N, C)
     g_phi = jnp.einsum("...nc,rc->...nr", gs, l)
