@@ -154,10 +154,15 @@ def build_caches(cfg: RunConfig, clip_params, model_cfg, train_factory):
     if os.path.exists(npz) and cfg.clip_load_cache:
         g = np.load(npz)
         clip_keys, dino_keys = g["clip_keys"], g["dino_keys"]
+        # values saved alongside the keys (utils.py:72-76 analog); older
+        # npz files carry keys only -> runtime falls back to pair one_hots
+        clip_values = g["clip_values"] if "clip_values" in g else None
+        dino_values = g["dino_values"] if "dino_values" in g else None
         print(f"[cache] global caches from {npz}")
     else:
         rc = random_caches(num_classes, cfg.num_shot, seed=cfg.seed)
         clip_keys, dino_keys = rc.clip_global_keys, rc.dino_keys
+        clip_values, dino_values = rc.clip_global_values, rc.dino_values
         print("[warn] global caches not found; random placeholders — run "
               "prepare_data to build them from the train set")
 
@@ -175,6 +180,7 @@ def build_caches(cfg: RunConfig, clip_params, model_cfg, train_factory):
         cache_h=pair.cache_h, cache_o=pair.cache_o, cache_u=pair.cache_u,
         one_hots=pair.one_hots, sample_lens=pair.sample_lens,
         clip_global_keys=clip_keys, dino_keys=dino_keys,
+        clip_global_values=clip_values, dino_values=dino_values,
         object_class_multihot=multihot,
         object_embedding=object_embedding,
         origin_text_embeddings=origin_text), pair
@@ -248,6 +254,7 @@ def make_model_config(cfg: RunConfig) -> HOIModelConfig:
             use_insadapter=cfg.use_insadapter, prior_type=cfg.prior_type,
             use_mlp_proj=cfg.use_mlp_proj, obj_affordance=cfg.obj_affordance,
             prior_method=cfg.prior_method,
+            global_values_mode=cfg.global_values_mode,
             proposals=ProposalConfig(
                 human_idx=cfg.human_idx,
                 box_score_thresh=cfg.box_score_thresh,

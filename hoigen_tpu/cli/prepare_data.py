@@ -114,9 +114,9 @@ def main(argv=None):
             embs.append(apply_fn(np.stack(feats[lo:lo + 64])))
         embs = np.concatenate(embs)
         embs /= np.linalg.norm(embs, axis=1, keepdims=True)
-        clip_keys = build_global_cache(embs, np.stack(multihots),
-                                       args.num_classes, args.num_shot,
-                                       seed=args.seed)
+        clip_keys, clip_values = build_global_cache(
+            embs, np.stack(multihots), args.num_classes, args.num_shot,
+            seed=args.seed)
         from ..models.dino import dino_forward, init_dino_params
         dino_params = init_dino_params(jax.random.PRNGKey(1))
         dfn = jax.jit(lambda p, im: dino_forward(p, im))
@@ -124,14 +124,15 @@ def main(argv=None):
             np.asarray(dfn(dino_params, jnp.asarray(np.stack(
                 feats[lo:lo + 64])))) for lo in range(0, len(feats), 64)])
         dembs /= np.linalg.norm(dembs, axis=1, keepdims=True)
-        dino_keys = build_global_cache(dembs, np.stack(multihots),
-                                       args.num_classes, args.num_shot,
-                                       seed=args.seed)
+        dino_keys, dino_values = build_global_cache(
+            dembs, np.stack(multihots), args.num_classes, args.num_shot,
+            seed=args.seed)
         tag = f"{args.zs_type}_{args.num_shot}" if args.zs else "2shots"
         out = args.out or os.path.join(
             "caches", "dataset", f"{args.dataset}_global_{tag}.npz")
         os.makedirs(os.path.dirname(out), exist_ok=True)
-        np.savez(out, clip_keys=clip_keys, dino_keys=dino_keys)
+        np.savez(out, clip_keys=clip_keys, clip_values=clip_values,
+                 dino_keys=dino_keys, dino_values=dino_values)
         print(f"global caches -> {out}")
 
 

@@ -46,6 +46,11 @@ class UPTCaches:
     object_class_multihot: np.ndarray     # (num_objects, C)
     object_embedding: np.ndarray          # (num_objects, 512)
     origin_text_embeddings: np.ndarray    # (C, 512)
+    # per-image verb multi-hots co-selected with the keys (utils.py:31-57);
+    # None -> runtime falls back to the pair-cache one_hots (which is also
+    # the reference's actual runtime behavior, upt_tip...py:432,442-450)
+    clip_global_values: Optional[np.ndarray] = None   # (C*num_shot, C)
+    dino_values: Optional[np.ndarray] = None          # (C*num_shot, C)
 
 
 def load_pair_annotations(path: str) -> dict:
@@ -224,26 +229,44 @@ def build_gen_cache(gen_features: np.ndarray, gen_targets: np.ndarray,
 def build_global_cache(image_features: np.ndarray,
                        image_multihots: np.ndarray, num_classes: int,
                        num_shot: int, seed: int = 0):
-    """CLIP/DINO whole-image cache keys (utils.py:6-176): for each class,
-    sample num_shot images containing it; classes with no images get random
-    keys. Returns keys (D, C*num_shot) L2-normalized column-wise source rows.
+    """CLIP/DINO whole-image cache keys AND values (reference
+    build_clip_cache_model / build_dino_cache_model, utils.py:6-176).
+
+    Per class c: one permutation of the images containing c, keep the first
+    min(n, num_shot) (the reference's single ``randperm(...)[:num_shot]``,
+    utils.py:47-50); key = the image's L2-normalized global feature, value =
+    that image's full per-verb multi-hot (utils.py:31-41) — NOT just class c.
+    Classes with no images get num_shot random keys + identity values
+    (utils.py:52-57). Padded layout: classes with n < num_shot real images
+    carry zero keys and all-zero value rows (the reference keeps a ragged
+    tensor instead; zero value rows make affinity@values identical).
+
+    Returns (keys (D, C*num_shot) float32 L2-normalized,
+             values (C*num_shot, C) float32).
+
+    Note the runtime default substitutes the pair-cache one_hots for these
+    values (the reference does exactly that at upt_tip...py:432,442-450 —
+    the built values are passed to UPT but discarded); see
+    UPTConfig.global_values_mode.
     """
     rng = np.random.default_rng(seed)
     d = image_features.shape[-1]
     keys = np.zeros((num_classes * num_shot, d), np.float32)
+    values = np.zeros((num_classes * num_shot, num_classes), np.float32)
     for c in range(num_classes):
         rows = np.nonzero(image_multihots[:, c] > 0)[0]
-        for j in range(num_shot):
-            lo = c * num_shot + j
-            if len(rows) == 0:
-                keys[lo] = rng.standard_normal(d)
-            elif j < len(rows):
-                sel = rng.permutation(rows)[:num_shot]
-                keys[lo] = image_features[sel[j % len(sel)]]
-            else:
-                keys[lo] = image_features[rows[rng.integers(len(rows))]]
+        lo = c * num_shot
+        if len(rows) == 0:
+            for j in range(num_shot):
+                keys[lo + j] = rng.standard_normal(d)
+                values[lo + j, c] = 1.0
+            continue
+        sel = rng.permutation(rows)[:num_shot]
+        for j, src in enumerate(sel):
+            keys[lo + j] = image_features[src]
+            values[lo + j] = image_multihots[src]
     keys = _l2(keys)
-    return keys.T.astype(np.float32)   # (D, C*num_shot)
+    return keys.T.astype(np.float32), values
 
 
 def random_caches(num_classes: int, num_shot: int, num_objects: int = 80,
@@ -270,6 +293,8 @@ def random_caches(num_classes: int, num_shot: int, num_objects: int = 80,
         object_embedding=rng.standard_normal(
             (num_objects, FEATURE_DIM)).astype(np.float32),
         origin_text_embeddings=f(num_classes, FEATURE_DIM),
+        clip_global_values=one_hots.copy(),
+        dino_values=one_hots.copy(),
     )
 
 

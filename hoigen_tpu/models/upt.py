@@ -51,6 +51,13 @@ class UPTConfig:
     # (ops/pallas_cache.py, 4.7x the unfused XLA pair on v5e); enable on
     # real TPU, off by default so CPU tests use plain XLA
     use_pallas_cache: bool = False
+    # values matrix for the CLIP-global/DINO branches: 'pair_one_hots'
+    # reproduces the reference runtime, which discards the values built by
+    # utils.py and substitutes the pair-cache one_hots_U
+    # (upt_tip...py:432,442-450); 'built' uses the per-image verb multi-hots
+    # co-selected with the keys (utils.py:31-57) — the evidently-intended
+    # semantics, exposed for experimentation
+    global_values_mode: str = "pair_one_hots"
     prior_type: str = "cbe"
     prior_method: int = 0
     proposals: ProposalConfig = ProposalConfig()
@@ -489,13 +496,27 @@ def init_upt_params(rng, cfg: UPTConfig, caches, clip_params):
             "dino_cache_bias": -jnp.ones(caches.dino_keys.shape[1]),
             "dino_cache_logit": jnp.asarray(log_1_007),
         })
+    if cfg.global_values_mode == "built":
+        if caches.clip_global_values is None or caches.dino_values is None:
+            raise ValueError(
+                "global_values_mode='built' needs caches with "
+                "clip_global_values/dino_values (rebuild the global-caches "
+                "npz with cli.prepare_data)")
+        g_vals, d_vals = caches.clip_global_values, caches.dino_values
+    elif cfg.global_values_mode == "pair_one_hots":
+        # reference runtime behavior (upt_tip...py:432,442-450)
+        g_vals, d_vals = caches.one_hots, caches.one_hots
+    else:
+        raise ValueError(f"global_values_mode: {cfg.global_values_mode}")
     buffers = {
         "one_hots": jnp.asarray(caches.one_hots),
         "sample_lens": jnp.asarray(caches.sample_lens),
-        "global_values": jnp.asarray(caches.one_hots),
-        "global_sample_len": jnp.asarray(caches.sample_lens),
-        "dino_values": jnp.asarray(caches.one_hots),
-        "dino_sample_len": jnp.asarray(caches.sample_lens),
+        "global_values": jnp.asarray(g_vals),
+        "global_sample_len": jnp.asarray(
+            np.maximum(np.asarray(g_vals).sum(0), 1.0)),
+        "dino_values": jnp.asarray(d_vals),
+        "dino_sample_len": jnp.asarray(
+            np.maximum(np.asarray(d_vals).sum(0), 1.0)),
         "object_class_multihot": jnp.asarray(caches.object_class_multihot),
         "object_embedding": jnp.asarray(caches.object_embedding),
         "origin_text_embeddings": jnp.asarray(caches.origin_text_embeddings),

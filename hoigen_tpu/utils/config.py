@@ -83,6 +83,10 @@ class RunConfig:
     clip_load_cache: bool = True
     generate_feature: bool = True
     gen_rounds: int = 100
+    # 'pair_one_hots' = reference runtime (one_hots_U substituted for the
+    # built global/dino values, upt_tip...py:432,442-450); 'built' = the
+    # per-image multi-hots from the cache builders (utils.py:31-57)
+    global_values_mode: str = "pair_one_hots"
 
     # zero-shot
     zs: bool = False
