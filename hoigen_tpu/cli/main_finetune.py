@@ -253,7 +253,8 @@ def make_model_config(cfg: RunConfig) -> HOIModelConfig:
             use_weight_pred=cfg.use_weight_pred,
             use_insadapter=cfg.use_insadapter, prior_type=cfg.prior_type,
             use_mlp_proj=cfg.use_mlp_proj, obj_affordance=cfg.obj_affordance,
-            prior_method=cfg.prior_method,
+            prior_method=cfg.prior_method, vis_prompt_num=cfg.vis_prompt_num,
+            use_consistloss=cfg.use_consistloss, tpt=cfg.tpt,
             global_values_mode=cfg.global_values_mode,
             proposals=ProposalConfig(
                 human_idx=cfg.human_idx,

@@ -2,10 +2,11 @@
 
 Behavior-compatible with OpenAI CLIP's SimpleTokenizer
 (/root/reference/CLIP/clip/simple_tokenizer.py) over the same merges file.
-The merges file is located via (in order): the ``HOIGEN_BPE_VOCAB`` env var,
-a path passed to the constructor, or known checkout locations. ftfy text
-fixing is applied when available (it is a no-op for the ASCII prompts this
-framework generates).
+The public merges artifact (bpe_simple_vocab_16e6.txt.gz, the standard
+OpenAI CLIP release file) ships next to this module; the ``HOIGEN_BPE_VOCAB``
+env var or a constructor path can override it. ftfy text fixing is applied
+when available (it is a no-op for the ASCII prompts this framework
+generates).
 """
 import functools
 import gzip
@@ -17,7 +18,6 @@ import regex as re
 _DEFAULT_VOCAB_PATHS = [
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
                  "bpe_simple_vocab_16e6.txt.gz"),
-    "/root/reference/CLIP/clip/bpe_simple_vocab_16e6.txt.gz",
 ]
 
 _PATTERN = re.compile(

@@ -88,11 +88,20 @@ class PromptTables:
     """Per-classname-set constants: SOS prefix, class+EOS suffix, and the
     tokenized prompts whose argmax marks the EOT position. Rebuilt whenever
     the class set changes (get_prefix_suffix_token, main_coop_vae.py:99-113).
+
+    class_token_position 'end' keeps the fast concatenate path; 'middle' /
+    'front' (PromptLearner.forward, upt_tip...py:150-200 — per-class Python
+    loops there) are static here: a per-class (L, D) ``template`` holding
+    every non-context token at its final position plus a per-class one-hot
+    ``ctx_placement`` (L, n_ctx), so prompts = template[t] + placement[t] @
+    ctx — one einsum, no data-dependent shapes.
     """
     token_prefix: np.ndarray      # (C, 1, D)
     token_suffix: np.ndarray      # (C, 77-1-n_ctx, D)
     eot_idx: np.ndarray           # (C,)
     n_ctx: int
+    template: Optional[np.ndarray] = None       # (C, L, D)
+    ctx_placement: Optional[np.ndarray] = None  # (C, L, n_ctx)
 
 
 def init_prompt_ctx(rng, n_ctx: int, dim: int = FEAT):
@@ -101,23 +110,62 @@ def init_prompt_ctx(rng, n_ctx: int, dim: int = FEAT):
 
 
 def build_prompt_tables(classnames: Sequence[str], token_embedding,
-                        n_ctx: int, context_length: int = 77) -> PromptTables:
+                        n_ctx: int, context_length: int = 77,
+                        class_token_position: str = "end") -> PromptTables:
     prefix = " ".join(["X"] * n_ctx)
     prompts = [prefix + " " + name.replace("_", " ") + "." for name in
                classnames]
     toks = tokenize(prompts, context_length)
     emb = np.asarray(token_embedding)[toks]
-    return PromptTables(token_prefix=emb[:, :1],
-                        token_suffix=emb[:, 1 + n_ctx:],
-                        eot_idx=toks.argmax(-1), n_ctx=n_ctx)
+    tables = PromptTables(token_prefix=emb[:, :1],
+                          token_suffix=emb[:, 1 + n_ctx:],
+                          eot_idx=toks.argmax(-1), n_ctx=n_ctx)
+    if class_token_position == "end":
+        return tables
+    if class_token_position not in ("middle", "front"):
+        raise ValueError(class_token_position)
+    # name_lens: token count of each classname alone (PromptLearner :119)
+    name_toks = tokenize([n.replace("_", " ") + "." for n in classnames],
+                         context_length)
+    name_lens = name_toks.argmax(-1) - 2        # minus SOS, '.'+EOS share? no:
+    # argmax = EOT position; tokens are [SOS, name..., '.', EOT] -> name_len
+    # = eot - 2 ('.' sits right before EOT)
+    c, length, d = emb.shape[0], emb.shape[1], emb.shape[2]
+    template = np.zeros((c, length, d), emb.dtype)
+    placement = np.zeros((c, length, n_ctx), emb.dtype)
+    half = n_ctx // 2
+    for i in range(c):
+        nl = int(name_lens[i])
+        name_rows = emb[i, 1 + n_ctx:1 + n_ctx + nl]
+        rest = emb[i, 1 + n_ctx + nl:]           # '.', EOT, padding
+        template[i, 0] = emb[i, 0]               # SOS
+        if class_token_position == "middle":
+            # [SOS][ctx:half][name][ctx half:][rest] (:161-182)
+            placement[i, np.arange(1, 1 + half), np.arange(half)] = 1
+            template[i, 1 + half:1 + half + nl] = name_rows
+            placement[i, np.arange(1 + half + nl, 1 + nl + n_ctx),
+                      np.arange(half, n_ctx)] = 1
+        else:                                    # front: [SOS][name][ctx][rest]
+            template[i, 1:1 + nl] = name_rows
+            placement[i, np.arange(1 + nl, 1 + nl + n_ctx),
+                      np.arange(n_ctx)] = 1
+        template[i, 1 + n_ctx + nl:] = rest
+    tables.template = template
+    tables.ctx_placement = placement
+    return tables
 
 
 def prompt_forward(ctx, tables: PromptTables, bias, target):
     """prompts = prefix[target] ++ (ctx + bias) ++ suffix[target]
-    (main_coop_vae.py:117-128). bias: (B, D); target: (B,) class ids."""
+    (main_coop_vae.py:117-128). bias: (B, D); target: (B,) class ids.
+    Middle/front positions use the precomputed template + placement."""
+    shifted = ctx[None] + bias[:, None, :]
+    if tables.template is not None:
+        tpl = jnp.asarray(tables.template)[target]
+        place = jnp.asarray(tables.ctx_placement)[target]
+        return tpl + jnp.einsum("blk,bkd->bld", place, shifted)
     prefix = jnp.asarray(tables.token_prefix)[target]
     suffix = jnp.asarray(tables.token_suffix)[target]
-    shifted = ctx[None] + bias[:, None, :]
     return jnp.concatenate([prefix, shifted, suffix], axis=1)
 
 

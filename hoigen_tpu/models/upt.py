@@ -59,7 +59,10 @@ class UPTConfig:
     # semantics, exposed for experimentation
     global_values_mode: str = "pair_one_hots"
     prior_type: str = "cbe"
-    prior_method: int = 0
+    prior_method: int = 0              # 0 instance | 1 pair | 2 learnable
+    vis_prompt_num: int = 50           # tokens for prior_method 2 (:525)
+    use_consistloss: bool = False      # rejected (see __post_init__)
+    tpt: bool = False                  # rejected (see __post_init__)
     proposals: ProposalConfig = ProposalConfig()
     clip_resolution: int = 224
     visual_output_dim: int = 512
@@ -69,12 +72,33 @@ class UPTConfig:
     # synthetic pair feature appended per image
     generate_feature: bool = False
 
+    def __post_init__(self):
+        # flags the reference exposes but whose code paths are broken at
+        # the source: --tpt calls an undefined compute_loss_tpt
+        # (upt_tip...py:1626-1627), --use_consistloss crashes on a 9-vs-8
+        # tuple unpack (:1258-1260 vs :1635-1636), and use_distill raises
+        # NotImplementedError (:1356-1357). Rejected explicitly rather than
+        # silently miscompiled.
+        if self.use_consistloss:
+            raise ValueError(
+                "use_consistloss is not supported: the reference path is "
+                "broken by construction (upt_tip...py:1258 returns 9 values "
+                "unpacked into 8 at :1635)")
+        if self.tpt:
+            raise ValueError(
+                "tpt is not supported: the reference calls an undefined "
+                "compute_loss_tpt (upt_tip...py:1626-1627)")
+        if self.prior_method not in (0, 1, 2):
+            raise ValueError(f"prior_method must be 0 (instance-wise), "
+                             f"1 (pair-wise) or 2 (learnable), got "
+                             f"{self.prior_method}")
+
     @property
     def priors_initial_dim(self) -> int:
-        return {"cbe": self.visual_output_dim + 5, "cb": 5,
-                "ce": self.visual_output_dim + 1,
-                "be": self.visual_output_dim + 4, "c": 1, "b": 4,
-                "e": self.visual_output_dim}["cbe"]  # cbe is the shipped mode
+        # the reference uses a FIXED visual_output_dim+5 feature width for
+        # every prior_type (upt_tip...py:469): narrower types zero-pad the
+        # tail of the same 517-d tensor (:1470-1494), so one MLP serves all
+        return self.visual_output_dim + 5
 
     @property
     def cache_rows(self) -> int:
@@ -112,7 +136,20 @@ def object_affordances(params, buffers, cfg: UPTConfig):
 
 def compute_priors(params, boxes, scores, labels, valid, image_sizes,
                    object_embedding, cfg: UPTConfig, buffers=None):
-    """-> (prior tokens (B, S, 64), key-padding mask (B, S) True=pad)."""
+    """-> (prior tokens (B, T, 64), key-padding mask (B, T) True=pad).
+
+    T = n_slots (prior_method 0), n_pairs (1) or vis_prompt_num (2).
+    Every prior_type writes its fields into the same fixed
+    priors_initial_dim-wide tensor with a zero tail, exactly as the
+    reference's preallocated ``priors`` buffer (upt_tip...py:1449-1494).
+    """
+    if cfg.prior_method == 2:
+        # learnable prior tokens, no detection conditioning (:525,1535-1537)
+        p = params["learnable_prior"]
+        b = scores.shape[0]
+        tokens = jnp.broadcast_to(p[None], (b, *p.shape))
+        return tokens, jnp.zeros((b, p.shape[0]), bool)
+
     h = image_sizes[:, 0:1]
     w = image_sizes[:, 1:2]
     scale = jnp.concatenate([w, h, w, h], axis=1)[:, None, :]
@@ -120,23 +157,45 @@ def compute_priors(params, boxes, scores, labels, valid, image_sizes,
     if cfg.obj_affordance and buffers is not None:
         object_embedding = object_affordances(params, buffers, cfg)
     obj_emb = object_embedding[labels]                     # (B, S, 512)
+    sc = scores[..., None]
+    zeros = jnp.zeros_like(obj_emb[..., :1])
+
+    def pad(parts, width):
+        f = jnp.concatenate(parts, axis=-1)
+        tail = cfg.priors_initial_dim - width
+        if tail:
+            f = jnp.concatenate(
+                [f, jnp.broadcast_to(zeros, (*f.shape[:-1], tail))], axis=-1)
+        return f
+
+    d = cfg.visual_output_dim
     if cfg.prior_type == "cbe":
-        feats = jnp.concatenate([scores[..., None], nb, obj_emb], axis=-1)
+        feats = pad([sc, nb, obj_emb], d + 5)
     elif cfg.prior_type == "cb":
-        feats = jnp.concatenate([scores[..., None], nb], axis=-1)
+        feats = pad([sc, nb], 5)
     elif cfg.prior_type == "ce":
-        feats = jnp.concatenate([scores[..., None], obj_emb], axis=-1)
+        feats = pad([sc, obj_emb], d + 1)
     elif cfg.prior_type == "be":
-        feats = jnp.concatenate([nb, obj_emb], axis=-1)
+        feats = pad([nb, obj_emb], d + 4)
     elif cfg.prior_type == "c":
-        feats = scores[..., None]
+        feats = pad([sc], 1)
     elif cfg.prior_type == "b":
-        feats = nb
+        feats = pad([nb], 4)
     elif cfg.prior_type == "e":
-        feats = obj_emb
+        feats = pad([obj_emb], d)
     else:
         raise NotImplementedError(cfg.prior_type)
     feats = feats * valid[..., None].astype(feats.dtype)
+
+    if cfg.prior_method == 1:
+        # pair-wise: concat the raw subject/object features per candidate
+        # pair, then one MLP with doubled input width (:1496-1534)
+        x_idx, y_idx = pair_indices(cfg.proposals)
+        pf = jnp.concatenate([feats[..., x_idx, :], feats[..., y_idx, :]],
+                             axis=-1)
+        pair_valid = valid[..., x_idx] & valid[..., y_idx] & (x_idx != y_idx)
+        pf = pf * pair_valid[..., None].astype(pf.dtype)
+        return _mlp3(params["priors_downproj"], pf), ~pair_valid
     return _mlp3(params["priors_downproj"], feats), ~valid
 
 
@@ -423,13 +482,19 @@ def init_upt_params(rng, cfg: UPTConfig, caches, clip_params):
                 "b": jnp.zeros(dims[i + 1])})
         return out
 
+    # MLP(in, 128, 64, 3 layers) (:520); pair-wise doubles the input (:523)
+    prior_in = cfg.priors_initial_dim * (2 if cfg.prior_method == 1 else 1)
     params = {
         "clip": clip_params,
-        "priors_downproj": mlp3_init(
-            ks[0], (cfg.priors_initial_dim, 128, 128, 64)),
+        "priors_downproj": mlp3_init(ks[0], (prior_in, 128, 128, 64)),
         "text_w": jnp.asarray(caches.origin_text_embeddings),
         "logit_scale_T": jnp.asarray(log_1_007),
     }
+    if cfg.prior_method == 2:
+        # xavier-normal (vis_prompt_num, 64) learnable prior (:525-526)
+        std = float(np.sqrt(2.0 / (cfg.vis_prompt_num + 64)))
+        params["learnable_prior"] = std * jax.random.normal(
+            jax.random.fold_in(ks[0], 99), (cfg.vis_prompt_num, 64))
     if cfg.use_weight_pred:
         # Weight_Pred (:54-64): MLP(3*512 -> 512 -> 128), MLP(128 -> 32 -> n)
         n_branch = len(cfg.logits_type.split("+"))

@@ -64,7 +64,13 @@ class RunConfig:
     adapter_pos: str = "all"
     adapter_num_layers: int = 1
     prior_type: str = "cbe"
-    prior_method: int = 0
+    prior_method: int = 0          # 0 instance-wise | 1 pair-wise | 2 learnable
+    vis_prompt_num: int = 50       # prior tokens when prior_method == 2
+    # exposed for reference-flag parity; rejected with a clear error at model
+    # build (the reference code paths are broken at the source; see
+    # models/upt.py UPTConfig.__post_init__)
+    use_consistloss: bool = False
+    tpt: bool = False
     use_multi_hot: bool = True
     label_choice: str = "random"
     use_templates: bool = False
