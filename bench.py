@@ -36,7 +36,12 @@ def main():
     # bf16 towers (frozen DETR/DINO convs + CLIP blocks) with fp32
     # LayerNorms and fp32 head math: +33% over f32 activations (HBM
     # bandwidth; matmuls already run bf16 on the MXU either way)
+    # gen_feat is the reference's effective runtime config (hardcoded at
+    # main_tip_finetune.py:444-445) and the only one that sums the CLIP-
+    # global + DINO cache branches into the logits — the heaviest, headline
+    # path
     cfg = HOIModelConfig(upt=UPTConfig(num_classes=600, num_shot=2,
+                                       cache_model="gen_feat",
                                        use_pallas_cache=True),
                          dtype="bfloat16")
     caches = random_caches(600, 2, num_objects=80)

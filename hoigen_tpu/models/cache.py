@@ -51,6 +51,16 @@ class UPTCaches:
     # the reference's actual runtime behavior, upt_tip...py:432,442-450)
     clip_global_values: Optional[np.ndarray] = None   # (C*num_shot, C)
     dino_values: Optional[np.ndarray] = None          # (C*num_shot, C)
+    # per-branch label matrices: the reference samples each feature family
+    # independently (load_cache_model called per feature, upt_tip...py:
+    # 397-424) so its one_hots_H/O/U/HO may differ row-wise; our builder
+    # keeps families aligned (None -> shared one_hots). Populated when
+    # loading reference checkpoints, whose saved label buffers are ragged
+    # per family.
+    one_hots_h: Optional[np.ndarray] = None
+    one_hots_o: Optional[np.ndarray] = None
+    one_hots_u: Optional[np.ndarray] = None
+    one_hots_ho: Optional[np.ndarray] = None
 
 
 def load_pair_annotations(path: str) -> dict:

@@ -243,11 +243,14 @@ def compute_logits(params, buffers, hum, obj, uni, feat_global, dino_feats,
     if cfg.cache_model == "gen_feat":
         up = cfg.use_pallas_cache
         lg_h = _cache_branch(hum, params["adapter_H_w"], params["adapter_H_b"],
-                             buffers["one_hots"], buffers["sample_lens"], up)
+                             buffers["one_hots_H"],
+                             buffers["sample_lens_H"], up)
         lg_o = _cache_branch(obj, params["adapter_O_w"], params["adapter_O_b"],
-                             buffers["one_hots"], buffers["sample_lens"], up)
+                             buffers["one_hots_O"],
+                             buffers["sample_lens_O"], up)
         lg_u = _cache_branch(uni, params["adapter_U_w"], params["adapter_U_b"],
-                             buffers["one_hots"], buffers["sample_lens"], up)
+                             buffers["one_hots_U"],
+                             buffers["sample_lens_U"], up)
         logits = (lg_h * params["logit_scale_H"]
                   + lg_o * params["logit_scale_O"]
                   + lg_u * params["logit_scale_U"])
@@ -255,10 +258,11 @@ def compute_logits(params, buffers, hum, obj, uni, feat_global, dino_feats,
         ho = jnp.concatenate([hum, obj], axis=-1)
         up = cfg.use_pallas_cache
         lg_ho = _cache_branch(ho, params["adapter_HO_w"],
-                              params["adapter_HO_b"], buffers["one_hots"],
-                              buffers["sample_lens"], up) / 2.0
+                              params["adapter_HO_b"], buffers["one_hots_HO"],
+                              buffers["sample_lens_HO"], up) / 2.0
         lg_u = _cache_branch(uni, params["adapter_U_w"], params["adapter_U_b"],
-                             buffers["one_hots"], buffers["sample_lens"], up)
+                             buffers["one_hots_U"],
+                             buffers["sample_lens_U"], up)
         if cfg.use_weight_pred:
             logits = lg_ho * w[..., 0:1] + lg_u * w[..., 1:2]
         else:
@@ -270,14 +274,20 @@ def compute_logits(params, buffers, hum, obj, uni, feat_global, dino_feats,
             logits = logits + lg_t * w[..., 2:3]
         else:
             logits = logits + lg_t * params["logit_scale_T"]
-    if cfg.use_clip_global:
-        aff = feat_global @ params["global_cache"] + params["global_cache_bias"]
-        lg_g = (aff @ buffers["global_values"]) / buffers["global_sample_len"]
-        logits = logits + lg_g[..., None, :] * params["clip_cache_logit"]
-    if cfg.use_dino and dino_feats is not None:
-        aff = dino_feats @ params["dino_cache"] + params["dino_cache_bias"]
-        lg_d = (aff @ buffers["dino_values"]) / buffers["dino_sample_len"]
-        logits = logits + lg_d[..., None, :] * params["dino_cache_logit"]
+    # the reference sums the global/DINO cache logits into the total ONLY in
+    # the gen_feat formulas (upt_tip...py:1186-1207); with cache_feat they
+    # are computed but never added (:1179-1184), so we skip them entirely
+    if cfg.cache_model == "gen_feat":
+        if cfg.use_clip_global:
+            aff = feat_global @ params["global_cache"] \
+                + params["global_cache_bias"]
+            lg_g = (aff @ buffers["global_values"]) \
+                / buffers["global_sample_len"]
+            logits = logits + lg_g[..., None, :] * params["clip_cache_logit"]
+        if cfg.use_dino and dino_feats is not None:
+            aff = dino_feats @ params["dino_cache"] + params["dino_cache_bias"]
+            lg_d = (aff @ buffers["dino_values"]) / buffers["dino_sample_len"]
+            logits = logits + lg_d[..., None, :] * params["dino_cache_logit"]
     return logits
 
 
@@ -413,8 +423,13 @@ def upt_forward(params, buffers, detr_post, images_clip, image_sizes,
         g_h = _norm(gen_sample["hum"])[:, None]
         g_o = _norm(gen_sample["obj"])[:, None]
         g_u = _norm(gen_sample["uni"])[:, None]
+        # the synthetic pair scores the global cache with the generated hoi
+        # feature, not the image CLS (:1143); the reference's DINO analog
+        # maps it through a fresh *randomly initialized* MLP every forward
+        # (:1124-1126, gen_to_dino built at :979) — we keep the image DINO
+        # features instead of reproducing that unseeded randomness
         g_logits = compute_logits(params, buffers, g_h, g_o, g_u,
-                                  feat_global, dino_feats, cfg)
+                                  g_u[:, 0], dino_feats, cfg)
         logits = jnp.concatenate([logits, g_logits], axis=1)
         g_prior = jnp.broadcast_to(
             (buffers["object_class_multihot"][gen_sample["obj_cls"]]
@@ -561,6 +576,17 @@ def init_upt_params(rng, cfg: UPTConfig, caches, clip_params):
             "dino_cache_bias": -jnp.ones(caches.dino_keys.shape[1]),
             "dino_cache_logit": jnp.asarray(log_1_007),
         })
+    def _branch(name):
+        # per-branch label matrices: the reference samples each feature
+        # family independently in load_cache_model, so one_hots_H/O/U (and
+        # HO) can differ row-wise (:397-424); our builder keeps families
+        # aligned (one selection per class) so the shared one_hots is the
+        # default, but reference-checkpoint loading can override per branch
+        v = getattr(caches, f"one_hots_{name}", None)
+        return caches.one_hots if v is None else v
+
+    oh = {k: np.asarray(_branch(k), np.float32)
+          for k in ("h", "o", "u", "ho")}
     if cfg.global_values_mode == "built":
         if caches.clip_global_values is None or caches.dino_values is None:
             raise ValueError(
@@ -569,13 +595,20 @@ def init_upt_params(rng, cfg: UPTConfig, caches, clip_params):
                 "npz with cli.prepare_data)")
         g_vals, d_vals = caches.clip_global_values, caches.dino_values
     elif cfg.global_values_mode == "pair_one_hots":
-        # reference runtime behavior (upt_tip...py:432,442-450)
-        g_vals, d_vals = caches.one_hots, caches.one_hots
+        # reference runtime behavior: one_hots_U substituted for both
+        # (upt_tip...py:432,442-450)
+        g_vals, d_vals = oh["u"], oh["u"]
     else:
         raise ValueError(f"global_values_mode: {cfg.global_values_mode}")
     buffers = {
-        "one_hots": jnp.asarray(caches.one_hots),
-        "sample_lens": jnp.asarray(caches.sample_lens),
+        "one_hots_H": jnp.asarray(oh["h"]),
+        "sample_lens_H": jnp.asarray(oh["h"].sum(0)),
+        "one_hots_O": jnp.asarray(oh["o"]),
+        "sample_lens_O": jnp.asarray(oh["o"].sum(0)),
+        "one_hots_U": jnp.asarray(oh["u"]),
+        "sample_lens_U": jnp.asarray(oh["u"].sum(0)),
+        "one_hots_HO": jnp.asarray(oh["ho"]),
+        "sample_lens_HO": jnp.asarray(oh["ho"].sum(0)),
         "global_values": jnp.asarray(g_vals),
         "global_sample_len": jnp.asarray(
             np.maximum(np.asarray(g_vals).sum(0), 1.0)),

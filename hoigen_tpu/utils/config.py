@@ -56,7 +56,10 @@ class RunConfig:
     # model
     num_classes: int = 117                 # 117 | 24 | 600
     logits_type: str = "HO+U+T"
-    cache_model: str = "cache_feat"        # cache_feat | gen_feat
+    # gen_feat is the reference's effective default (hardcoded override at
+    # main_tip_finetune.py:444); its cache_feat path cannot even construct
+    # upstream (4-into-5 unpack at upt_tip...py:421,424) — ours can
+    cache_model: str = "gen_feat"          # cache_feat | gen_feat
     num_shot: int = 2
     file1: str = ("./hicodet_pkl_files/"
                   "union_embeddings_cachemodel_crop_padding_zeros_vitb16.p")

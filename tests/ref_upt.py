@@ -134,6 +134,11 @@ def _file_module(name, path):
 def _install_stubs():
     from hoigen_tpu.models.clip.tokenizer import SimpleTokenizer, tokenize
 
+    # no GPU in this environment: the reference sprinkles .cuda() on
+    # tensors/modules along the paths under test — make them identity
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
     tv = types.ModuleType("torchvision")
     tv_ops = types.ModuleType("torchvision.ops")
     tv_boxes = types.ModuleType("torchvision.ops.boxes")

@@ -1,0 +1,458 @@
+"""Full-model golden parity: upt_forward vs the reference UPT.forward
+(/root/reference/upt_tip_cache_model_free_finetune_distill3.py:270,1543-1664)
+built at tiny dims in torch (CPU), fed identical weights.
+
+The DETR tower is replaced on BOTH sides by the same canned detection
+outputs (DETR itself has its own parity suite, tests/test_detr_parity.py);
+everything downstream — postprocess, proposal selection, priors, the
+adapter-CLIP encoder, roi_align pooling, all cache/text/global/DINO logit
+branches, GT association, the focal loss, and eval postprocessing — runs for
+real on both sides. Weights are transplanted from the constructed reference
+model into the JAX pytree (ragged reference cache rows scattered into the
+padded per-class layout), so the comparison isolates forward semantics from
+RNG-dependent cache construction.
+"""
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+torch = pytest.importorskip("torch")
+
+import jax                                                  # noqa: E402
+import jax.numpy as jnp                                     # noqa: E402
+
+from ref_upt import load_ref_upt                            # noqa: E402
+from test_clip_parity import _tiny_state_dict               # noqa: E402
+
+from hoigen_tpu.labels import HICO                          # noqa: E402
+from hoigen_tpu.models.cache import UPTCaches               # noqa: E402
+from hoigen_tpu.models.clip import torch_state_dict_to_params  # noqa: E402
+from hoigen_tpu.models.detr.model import postprocess        # noqa: E402
+from hoigen_tpu.models.proposals import ProposalConfig     # noqa: E402
+from hoigen_tpu.models.upt import UPTConfig, init_upt_params, \
+    upt_forward                                             # noqa: E402
+
+C, D, RES, DINO_D = 117, 32, 32, 16   # verbs, CLIP embed, image, dino dims
+NUM_SHOT = 2
+B, Q = 2, 12                          # images, detr queries
+SEED = 11
+
+
+# --------------------------------------------------------------------------
+# shared synthetic inputs
+# --------------------------------------------------------------------------
+def _canned_detections():
+    """(logits (B,Q,81), boxes (B,Q,4) cxcywh in (0,1)) with distinct scores,
+    3 humans + 5 objects above thresh per image, a couple below."""
+    rng = np.random.default_rng(SEED)
+    logits = rng.normal(0, 0.3, (B, Q, 81)).astype(np.float32)
+    for b in range(B):
+        for q in range(Q):
+            cls = 0 if q < 4 else 1 + (q % 7) * 9
+            # margins produce softmax scores sorted and distinct per query
+            logits[b, q, cls] += 2.0 + 0.35 * q + 0.1 * b
+        # push two detections below the 0.2 threshold
+        logits[b, 10, :] = 0.0
+        logits[b, 11, :] = 0.0
+    centers = rng.uniform(0.2, 0.8, (B, Q, 2))
+    sizes = rng.uniform(0.15, 0.3, (B, Q, 2))
+    boxes = np.concatenate([centers, sizes], -1).astype(np.float32)
+    return logits, boxes
+
+
+def _synthetic_pkl(tmp_path):
+    """Every verb gets 1-2 annotated pairs (no randperm truncation), with an
+    object class that makes the verb valid. Returns (path, counts)."""
+    rng = np.random.default_rng(SEED + 1)
+    verb_to_obj = {}
+    for o, verbs in enumerate(HICO.object_to_verb):
+        for v in verbs:
+            verb_to_obj.setdefault(v, o)
+    anno = {}
+    counts = np.zeros(C, int)
+    for v in range(C):
+        n = 1 + (v % 2)
+        counts[v] = n
+        feats = rng.normal(0, 1, (3, n, D)).astype(np.float32)
+        bh = rng.uniform(0, 50, (n, 2))
+        bh = np.concatenate([bh, bh + rng.uniform(20, 40, (n, 2))], 1)
+        bo = rng.uniform(0, 50, (n, 2))
+        bo = np.concatenate([bo, bo + rng.uniform(20, 40, (n, 2))], 1)
+        anno[f"hico_img_{v}.jpg"] = {
+            "huamn_features": feats[0], "object_features": feats[1],
+            "union_features": feats[2],
+            "boxes_h": bh.astype(np.float32),
+            "boxes_o": bo.astype(np.float32),
+            "verbs": np.full(n, v, np.int64),
+            "objects": np.full(n, verb_to_obj[v], np.int64),
+        }
+    path = os.path.join(tmp_path, "hico_pairs.p")   # 'hico' enables filter
+    with open(path, "wb") as f:
+        pickle.dump(anno, f)
+    return path, counts
+
+
+class _Args:
+    def __init__(self, cache_model, generate_feature, evaluate, file1):
+        self.generate_feature = generate_feature
+        self.dataset = "hicodet"
+        self.eval = evaluate
+        self.cache = False
+        self.dino = True
+        self.keep_datasets = 10 ** 9   # never trip the fresh-MLP path
+        self.clip_global = True
+        self.use_distill = False
+        self.use_consistloss = False
+        self.use_multi_hot = True
+        self.obj_affordance = False
+        self.logits_type = "HO+U+T"
+        self.num_shot = NUM_SHOT
+        self.file1 = file1
+        self.zs = False
+        self.zs_type = None
+        self.label_choice = "random"
+        self.cache_model = cache_model
+        self.prior_type = "cbe"
+        self.use_weight_pred = False
+        self.use_insadapter = True
+        self.prior_method = 0
+        self.hyper_lambda = 2.8
+        self.pseudo_label = False
+        self.tpt = False
+        self.feat_mask_type = 0
+        self.LA = False
+        self.LA_weight = 0.6
+        self.box_proj = 0
+
+
+class _CannedDETR(torch.nn.Module):
+    """Stands in for self.detector: the backbone/transformer plumbing is
+    exercised but class_embed/bbox_embed emit the canned outputs."""
+
+    def __init__(self, logits, boxes):
+        super().__init__()
+        self._logits = torch.as_tensor(logits)
+        self._boxes = torch.as_tensor(boxes)
+        self.input_proj = torch.nn.Identity()
+        self.query_embed = types.SimpleNamespace(weight=torch.zeros(Q, 4))
+
+    def backbone(self, nested):
+        src, mask = nested.decompose()
+        feat = types.SimpleNamespace(decompose=lambda: (src, mask))
+        return [feat], [None]
+
+    def transformer(self, src, mask, query, pos):
+        return torch.zeros(1), torch.zeros(1)
+
+    def class_embed(self, hs):
+        return self._logits[None]
+
+    def bbox_embed(self, hs):
+        # forward applies .sigmoid(); hand it the canned (0,1) boxes
+        return types.SimpleNamespace(sigmoid=lambda: self._boxes[None])
+
+
+class _RefPostProcess(torch.nn.Module):
+    """Mirror of detr PostProcess (detr/models/detr.py:258-290)."""
+
+    def forward(self, outputs, target_sizes):
+        prob = torch.nn.functional.softmax(outputs["pred_logits"], -1)
+        scores, labels = prob[..., :-1].max(-1)
+        cx, cy, w, h = outputs["pred_boxes"].unbind(-1)
+        boxes = torch.stack([cx - w / 2, cy - h / 2,
+                             cx + w / 2, cy + h / 2], -1)
+        img_h, img_w = target_sizes.unbind(1)
+        scale = torch.stack([img_w, img_h, img_w, img_h], dim=1)
+        boxes = boxes * scale[:, None, :]
+        return [{"scores": s, "labels": l, "boxes": b}
+                for s, l, b in zip(scores, labels, boxes)]
+
+
+class _DinoStub(torch.nn.Module):
+    def __init__(self, w):
+        super().__init__()
+        self.register_buffer("w", torch.as_tensor(w))
+
+    def forward(self, images):
+        return images.mean(dim=(2, 3)) @ self.w
+
+
+def _pad_rows(ref, counts, num_shot=NUM_SHOT):
+    """Scatter ragged per-class reference rows into the padded layout."""
+    ref = np.asarray(ref)
+    out = np.zeros((len(counts) * num_shot, ref.shape[1]), np.float32)
+    lo = 0
+    for c, n in enumerate(counts):
+        out[c * num_shot:c * num_shot + n] = ref[lo:lo + n]
+        lo += n
+    assert lo == len(ref)
+    return out
+
+
+def _build_ref(tmp_path, cache_model, generate_feature, evaluate):
+    ref = load_ref_upt()
+    ref_clip_mod = sys.modules["CLIP_models_adapter_prior2"]
+    torch.manual_seed(SEED)
+    clip_model = ref_clip_mod.build_model(
+        dict(_tiny_state_dict()), use_adapter=True, adapter_pos="all",
+        adapter_num_layers=1).float().eval()
+    rng = np.random.default_rng(SEED + 2)
+    file1, counts = _synthetic_pkl(tmp_path)
+    r_total = int(counts.sum())
+    clip_keys = torch.as_tensor(
+        rng.normal(0, 1, (D, r_total)).astype(np.float32))
+    dino_keys = torch.as_tensor(
+        rng.normal(0, 1, (DINO_D, r_total)).astype(np.float32))
+    dino_w = rng.normal(0, 1, (3, DINO_D)).astype(np.float32)
+    origin_text = torch.as_tensor(
+        rng.normal(0, 1, (C, D)).astype(np.float32))
+    origin_text = origin_text / origin_text.norm(dim=-1, keepdim=True)
+    obj_emb = torch.as_tensor(rng.normal(0, 1, (80, D)).astype(np.float32))
+    obj_emb = obj_emb / obj_emb.norm(dim=-1, keepdim=True)
+
+    gen_n = 600
+    gen_feature = torch.as_tensor(
+        rng.normal(0, 1, (3 * gen_n, D)).astype(np.float32))
+    gen_target = torch.cat([torch.arange(gen_n)] * 3)
+    gen_verb = torch.as_tensor(np.asarray(HICO.hoi_to_verb))
+
+    logits, boxes = _canned_detections()
+    # cache_feat is broken by construction in the reference: its __init__
+    # unpacks the 4-tuple at :421/:424 into 5 names -> unconditional
+    # ValueError (the shipped main hardcodes gen_feat, :444-445). Build as
+    # gen_feat, then attach the evidently-intended cache_feat state using
+    # the reference's own load_cache_model and flip the mode flag.
+    init_cache_model = "gen_feat" if cache_model == "cache_feat" \
+        else cache_model
+    args = _Args(init_cache_model, generate_feature, evaluate, file1)
+    model = ref.UPT(
+        args, clip_keys, None, _DinoStub(dino_w), dino_keys, None,
+        gen_feature, gen_target, gen_verb, HICO.object_to_verb,
+        _CannedDETR(logits, boxes), _RefPostProcess(),
+        types.SimpleNamespace(image_encoder=clip_model.visual,
+                              dtype=torch.float32),
+        origin_text, obj_emb,
+        human_idx=0, num_classes=C, alpha=0.5, gamma=0.2,
+        box_score_thresh=0.2, fg_iou_thresh=0.5,
+        min_instances=3, max_instances=8,
+        object_class_to_target_class=HICO.object_to_verb,
+        object_n_verb_to_interaction=HICO.object_n_verb_to_interaction,
+        num_anno=torch.ones(C),
+        use_mlp_proj=False)
+    if cache_model == "cache_feat":
+        import math
+        ho, one_hots_ho, lens_ho, _, _ = model.load_cache_model(
+            file1, "hum_obj", C, NUM_SHOT, [], True, "random", torch.ones(C))
+        model.adapter_HO_weight = torch.nn.Parameter(ho.float())
+        model.adapter_HO_bias = torch.nn.Parameter(-torch.ones(ho.shape[0]))
+        model.label_HO = torch.nn.Parameter(one_hots_ho.float(),
+                                            requires_grad=False)
+        model.sample_lens_HO = lens_ho.float()
+        model.logit_scale_HO = torch.nn.Parameter(
+            torch.ones([]) * math.log(1 / 0.07))
+        model.adapter_U_weight = torch.nn.Parameter(
+            model.cache_model_U.clone().detach() if not generate_feature
+            else model.gen_adapter_U_weight.data.clone())
+        model.adapter_U_bias = torch.nn.Parameter(
+            -torch.ones(model.adapter_U_weight.shape[0]))
+        model.label_U = torch.nn.Parameter(model.one_hots_U.float(),
+                                           requires_grad=False)
+        model.logit_scale_U = torch.nn.Parameter(
+            torch.ones([]) * math.log(1 / 0.07))
+        model.cache_model = "cache_feat"
+    model = model.float().eval()
+    extras = dict(clip_model=clip_model, counts=counts, dino_w=dino_w,
+                  origin_text=origin_text.numpy(), obj_emb=obj_emb.numpy(),
+                  canned=(logits, boxes))
+    return model, extras
+
+
+def _build_mine(ref_model, extras, cache_model):
+    counts = extras["counts"]
+    clip_params, clip_cfg = torch_state_dict_to_params(
+        {k: v for k, v in extras["clip_model"].state_dict().items()},
+        use_adapter=True, adapter_pos="all", adapter_num_layers=1)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()
+          if not k.startswith(("clip_head", "detector", "dino_model"))}
+    one_hots_u = _pad_rows(sd["label_U"] if cache_model == "cache_feat"
+                           else sd["gen_label_U"], counts)
+    caches = UPTCaches(
+        cache_h=np.zeros((C * NUM_SHOT, D), np.float32),
+        cache_o=np.zeros((C * NUM_SHOT, D), np.float32),
+        cache_u=np.zeros((C * NUM_SHOT, D), np.float32),
+        one_hots=one_hots_u, sample_lens=one_hots_u.sum(0),
+        clip_global_keys=np.zeros((D, C * NUM_SHOT), np.float32),
+        dino_keys=np.zeros((DINO_D, C * NUM_SHOT), np.float32),
+        object_class_multihot=HICO.object_class_multihot(C),
+        object_embedding=extras["obj_emb"],
+        origin_text_embeddings=extras["origin_text"],
+        one_hots_u=one_hots_u,
+    )
+    if cache_model == "cache_feat":
+        caches.one_hots_ho = _pad_rows(sd["label_HO"], counts)
+    else:
+        caches.one_hots_h = _pad_rows(sd["gen_label_H"], counts)
+        caches.one_hots_o = _pad_rows(sd["gen_label_O"], counts)
+
+    cfg = UPTConfig(num_classes=C, num_shot=NUM_SHOT, visual_output_dim=D,
+                    dino_dim=DINO_D, clip_resolution=RES,
+                    cache_model=cache_model, use_dino=True,
+                    use_clip_global=True,
+                    proposals=ProposalConfig(max_instances=8))
+    params, buffers = init_upt_params(jax.random.PRNGKey(0), cfg, caches,
+                                      clip_params)
+    # transplant every UPT-head weight from the reference
+    pd = []
+    for i in range(3):
+        pd.append({"w": jnp.asarray(sd[f"priors_downproj.layers.{i}.weight"]),
+                   "b": jnp.asarray(sd[f"priors_downproj.layers.{i}.bias"])})
+    params["priors_downproj"] = pd
+    params["text_w"] = jnp.asarray(sd["adapter_union_weight"])
+    params["logit_scale_T"] = jnp.asarray(sd["logit_scale_text"])
+    if cache_model == "cache_feat":
+        params["adapter_HO_w"] = jnp.asarray(
+            _pad_rows(sd["adapter_HO_weight"], counts))
+        params["adapter_HO_b"] = jnp.asarray(
+            _pad_rows(sd["adapter_HO_bias"][:, None], counts)[:, 0])
+        params["adapter_U_w"] = jnp.asarray(
+            _pad_rows(sd["adapter_U_weight"], counts))
+        params["adapter_U_b"] = jnp.asarray(
+            _pad_rows(sd["adapter_U_bias"][:, None], counts)[:, 0])
+        params["logit_scale_HO"] = jnp.asarray(sd["logit_scale_HO"])
+        params["logit_scale_U"] = jnp.asarray(sd["logit_scale_U"])
+    else:
+        for fam in "HOU":
+            params[f"adapter_{fam}_w"] = jnp.asarray(
+                _pad_rows(sd[f"gen_adapter_{fam}_weight"], counts))
+            params[f"adapter_{fam}_b"] = jnp.asarray(
+                _pad_rows(sd[f"gen_adapter_{fam}_bias"][:, None],
+                          counts)[:, 0])
+            params[f"logit_scale_{fam}"] = jnp.asarray(
+                sd[f"gen_logit_scale_{fam}"])
+    params["global_cache"] = jnp.asarray(
+        _pad_rows(sd["global_cache"].T, counts).T)
+    params["global_cache_bias"] = jnp.asarray(
+        _pad_rows(sd["global_cache_bias"][:, None], counts)[:, 0])
+    params["clip_cache_logit"] = jnp.asarray(sd["clip_cache_logit"])
+    params["dino_cache"] = jnp.asarray(
+        _pad_rows(sd["dino_cache"].T, counts).T)
+    params["dino_cache_bias"] = jnp.asarray(
+        _pad_rows(sd["dino_cache_bias"][:, None], counts)[:, 0])
+    params["dino_cache_logit"] = jnp.asarray(sd["dino_cache_logit"])
+    return cfg, clip_cfg, params, buffers, extras["dino_w"]
+
+
+def _run_mine(cfg, clip_cfg, params, buffers, dino_w, images_clip,
+              targets=None, training=False):
+    logits, boxes = _canned_detections()
+    sizes = jnp.full((B, 2), float(RES))
+    post = postprocess(jnp.asarray(logits), jnp.asarray(boxes), sizes)
+    dino_apply = lambda im: im.mean(axis=(2, 3)) @ jnp.asarray(dino_w)  # noqa: E731
+    return upt_forward(params, buffers, post, jnp.asarray(images_clip),
+                       sizes, clip_cfg, cfg, dino_apply=dino_apply,
+                       targets=targets, training=training)
+
+
+def _compare_eval(ref_dets, mine, p_cfg):
+    x_idx = np.asarray(mine["pairing"][0])
+    y_idx = np.asarray(mine["pairing"][1])
+    det_scores = np.asarray(mine["detection_scores"])
+    pair_valid = np.asarray(mine["pair_valid"])
+    boxes = np.asarray(mine["boxes"])
+    valid = np.asarray(mine["valid"])
+    m = p_cfg.max_instances
+    for b, det in enumerate(ref_dets):
+        ref_boxes = det["boxes"].numpy()
+        n_h = int(np.sum(valid[b, :m]))
+        n_o = int(np.sum(valid[b, m:]))
+        assert len(ref_boxes) == n_h + n_o
+        # kept boxes: reference list = [valid human slots, valid obj slots]
+        mine_boxes = np.concatenate([boxes[b, :m][valid[b, :m]],
+                                     boxes[b, m:][valid[b, m:]]])
+        np.testing.assert_allclose(mine_boxes, ref_boxes, atol=1e-3)
+        # map reference pair (h, o) in compact indices to my slot pair
+        pairing = det["pairing"].numpy()
+        scores = det["scores"].numpy()
+        labels = det["labels"].numpy()
+        objects = det["objects"].numpy()
+        dense_ref = np.zeros(det_scores.shape[1:], np.float32)
+        slot_of = lambda i: i if i < n_h else m + (i - n_h)   # noqa: E731
+        pair_slot = {(int(x), int(y)): p
+                     for p, (x, y) in enumerate(zip(x_idx, y_idx))}
+        for s, lab, (h, o), obj in zip(scores, labels, pairing.T, objects):
+            p = pair_slot[(slot_of(int(h)), slot_of(int(o)))]
+            assert pair_valid[b, p]
+            dense_ref[p, int(lab)] = s
+            assert int(np.asarray(mine["objects"])[b, p]) == int(obj)
+        got = det_scores[b] * pair_valid[b][:, None]
+        np.testing.assert_allclose(got, dense_ref, atol=2e-4)
+
+
+@pytest.mark.parametrize("cache_model,generate_feature",
+                         [("gen_feat", False), ("cache_feat", True)])
+def test_eval_parity(tmp_path, cache_model, generate_feature):
+    ref_model, extras = _build_ref(str(tmp_path), cache_model,
+                                   generate_feature, evaluate=True)
+    cfg, clip_cfg, params, buffers, dino_w = _build_mine(
+        ref_model, extras, cache_model)
+    rng = np.random.default_rng(SEED + 3)
+    images_clip = rng.normal(0, 1, (B, 3, RES, RES)).astype(np.float32)
+    imgs = [(torch.as_tensor(images_clip[i]),
+             torch.as_tensor(images_clip[i])) for i in range(B)]
+    with torch.no_grad():
+        ref_dets = ref_model(imgs)
+    mine = _run_mine(cfg, clip_cfg, params, buffers, dino_w, images_clip)
+    _compare_eval(ref_dets, mine, cfg.proposals)
+
+
+def test_train_loss_parity(tmp_path):
+    ref_model, extras = _build_ref(str(tmp_path), "gen_feat",
+                                   generate_feature=False, evaluate=False)
+    ref_model.train()
+    ref_model.featmap_dropout.p = 0.0     # disable the only RNG in the path
+    cfg, clip_cfg, params, buffers, dino_w = _build_mine(
+        ref_model, extras, "gen_feat")
+    rng = np.random.default_rng(SEED + 4)
+    images_clip = rng.normal(0, 1, (B, 3, RES, RES)).astype(np.float32)
+    imgs = [(torch.as_tensor(images_clip[i]),
+             torch.as_tensor(images_clip[i])) for i in range(B)]
+    # GT pairs overlapping the canned detections so association fires:
+    # steal two detection boxes per image as GT (normalized cxcywh)
+    _, canned_boxes = _canned_detections()
+    g = 2
+    tgts_ref, bh, bo, lab, val = [], [], [], [], []
+    for b in range(B):
+        gt = canned_boxes[b, :g * 2]
+        tgts_ref.append({
+            "boxes_h": torch.as_tensor(gt[:g]),
+            "boxes_o": torch.as_tensor(gt[g:2 * g]),
+            "labels": torch.as_tensor([5, 36]),
+            "size": torch.as_tensor([float(RES), float(RES)])})
+        bh.append(gt[:g])
+        bo.append(gt[g:2 * g])
+        lab.append([5, 36])
+        val.append([True] * g)
+    pad = cfg.max_gt_pairs
+    targets = {
+        "boxes_h": jnp.asarray(np.stack(
+            [np.pad(x, ((0, pad - g), (0, 0))) for x in bh])),
+        "boxes_o": jnp.asarray(np.stack(
+            [np.pad(x, ((0, pad - g), (0, 0))) for x in bo])),
+        "labels": jnp.asarray(np.stack(
+            [np.pad(x, (0, pad - g)) for x in lab])),
+        "valid": jnp.asarray(np.stack(
+            [np.pad(x, (0, pad - g)) for x in val])),
+    }
+    with torch.no_grad():
+        loss_dict = ref_model(imgs, tgts_ref)
+    ref_loss = float(loss_dict["interaction_loss"])
+    loss, aux = _run_mine(cfg, clip_cfg, params, buffers, dino_w,
+                          images_clip, targets=targets, training=True)
+    assert float(aux["n_p"]) > 0, "association produced no positives"
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=2e-4)
