@@ -277,10 +277,13 @@ def batches_from_factory(factory, batch_size, cfg, mesh=None, shuffle=True,
         idx = order[lo:lo + batch_size]
         samples = [factory[int(i)] for i in idx]
         batch = collate_batch(samples, cfg.max_gt_pairs)
+        # 600-class training associates pairs against interaction ids, not
+        # verbs (reference targets['hoi'], upt_tip...py:1292-1293)
+        cls_ids = batch.hoi if cfg.num_classes == 600 else batch.labels
         d = {"images": batch.images, "image_mask": batch.image_mask,
              "images_clip": batch.images_clip, "clip_sizes": batch.clip_sizes,
              "boxes_h": batch.boxes_h, "boxes_o": batch.boxes_o,
-             "labels": batch.labels, "gt_valid": batch.gt_valid}
+             "labels": cls_ids, "gt_valid": batch.gt_valid}
         if mesh is not None:
             d = shard_batch(mesh, d)
         yield d, batch
@@ -339,13 +342,17 @@ def main(cfg: RunConfig):
         rng, model_cfg, caches, clip_params=clip_params,
         detr_params=detr_params, dino_params=dino_params)
 
+    resume_path = None
     if cfg.resume:
-        path = cfg.resume if os.path.exists(cfg.resume) \
+        base = os.path.basename(os.path.normpath(cfg.resume))
+        resume_path = cfg.resume if base.startswith("ckpt_") \
             else latest_checkpoint(cfg.resume)
-        if path:
-            state = restore_checkpoint(path, {"trainable": trainable})
-            trainable = state["trainable"]
-            print(f"[load] resumed trainable params from {path}")
+    if resume_path and (cfg.eval or cfg.cache or cfg.sanity):
+        # eval/cache only need the weights; training resumes the full
+        # state (optimizer/iteration/epoch) via Trainer.restore below
+        state = restore_checkpoint(resume_path, {"trainable": trainable})
+        trainable = state["trainable"]
+        print(f"[load] resumed trainable params from {resume_path}")
 
     if cfg.vis_tor != 1.0 and (cfg.eval or cfg.cache):
         from ..models.upt import apply_vis_tor
@@ -420,7 +427,11 @@ def main(cfg: RunConfig):
         trainer = Trainer(step, optimizer, trainable, frozen, buffers,
                           print_interval=cfg.print_interval,
                           output_dir=cfg.output_dir)
-        for epoch in range(cfg.epochs):
+        if resume_path:
+            trainer.restore(resume_path)
+            print(f"[load] resumed full training state from {resume_path} "
+                  f"(epoch {trainer.epoch}, iteration {trainer.iteration})")
+        for epoch in range(trainer.epoch, cfg.epochs):
             avg = trainer.run_epoch(
                 batches_from_factory(train_factory, cfg.batch_size, cfg,
                                      mesh, seed=cfg.seed + epoch),

@@ -37,6 +37,21 @@ class Trainer:
         self._t_iter = deque(maxlen=print_interval)
         self._losses = deque(maxlen=print_interval)
 
+    def restore(self, path: str) -> None:
+        """Resume the FULL training state — trainable params, optimizer
+        state (including the schedule step count), iteration and epoch —
+        matching the reference's resume (main_tip_finetune.py:1013-1021 +
+        pocket/pocket/core/distributed.py:209-224)."""
+        from .checkpoint import restore_checkpoint
+        like = {"trainable": self.trainable, "opt_state": self.opt_state,
+                "iteration": np.asarray(self.iteration),
+                "epoch": np.asarray(self.epoch)}
+        state = restore_checkpoint(path, like)
+        self.trainable = state["trainable"]
+        self.opt_state = state["opt_state"]
+        self.iteration = int(state["iteration"])
+        self.epoch = int(state["epoch"])
+
     def run_epoch(self, batches: Iterable, rng) -> float:
         """batches: iterable of batch dicts (already device-sharded)."""
         self.epoch += 1

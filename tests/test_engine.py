@@ -69,6 +69,54 @@ def test_entry_compiles_tiny():
     assert bool(jnp.isfinite(out["detection_scores"]).all())
 
 
+def test_full_resume_roundtrip(tmp_path):
+    """Save after 2 epochs, restore into a fresh Trainer, and verify the
+    continued run is bit-identical to an uninterrupted one — i.e. the
+    optimizer state (incl. schedule count), iteration and epoch all
+    survive the round trip (reference: main_tip_finetune.py:1013-1021)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    from hoigen_tpu.engine.checkpoint import latest_checkpoint
+    from hoigen_tpu.engine.hoi_model import (make_example_batch,
+                                             make_optimizer, make_train_step)
+    from hoigen_tpu.engine.train import Trainer
+
+    cfg, trainable, frozen, buffers, detr_hw = ge._flagship(tiny=True)
+    opt = make_optimizer(lr_drop_step=3)(trainable)
+    step = make_train_step(cfg, opt)
+    batch = make_example_batch(cfg, batch_size=2, detr_hw=detr_hw)
+    rng = jax.random.PRNGKey(7)
+
+    def batches(epoch):
+        return [batch, batch]
+
+    # step_fn donates trainable/opt_state: give each Trainer its own copy
+    tr0 = jax.tree.map(np.asarray, trainable)
+    fresh = lambda: jax.tree.map(jnp.asarray, tr0)  # noqa: E731
+
+    out = str(tmp_path / "ckpts")
+    t1 = Trainer(step, opt, fresh(), frozen, buffers, output_dir=out)
+    for e in range(2):
+        t1.run_epoch(batches(e), jax.random.fold_in(rng, e))
+    # uninterrupted continuation (epoch 3)
+    t1_ckpt = latest_checkpoint(out)
+    t1.checkpoint_every_epoch = False
+    t1.run_epoch(batches(2), jax.random.fold_in(rng, 2))
+    expected = t1.trainable
+
+    t2 = Trainer(step, opt, fresh(), frozen, buffers, output_dir=None)
+    t2.restore(t1_ckpt)
+    assert t2.epoch == 2 and t2.iteration == 4
+    t2.run_epoch(batches(2), jax.random.fold_in(rng, 2))
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(expected),
+            jax.tree_util.tree_leaves_with_path(t2.trainable)):
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(p1))
+
+
 def test_training_reduces_loss_tiny_flagship():
     """A few optimizer steps on the tiny flagship (with the gen-feature
     branch providing positives) reduce the interaction loss."""

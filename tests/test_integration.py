@@ -85,6 +85,36 @@ def test_data_factory_and_collate(synthetic_hicodet):
     assert cimg.shape == (3, 224, 224)
 
 
+def test_600_class_batches_use_hoi_ids(synthetic_hicodet):
+    """num_classes=600 training must associate against interaction ids,
+    not verbs (reference targets['hoi'], upt_tip...py:1292-1293); a verb id
+    in a 600-wide one-hot would silently corrupt the loss."""
+    from hoigen_tpu.cli.main_finetune import batches_from_factory
+    from hoigen_tpu.utils.config import RunConfig
+
+    def fresh_factory():
+        # augmentation is stateful per factory: rebuild for each pass
+        return DataFactory("hicodet", "train2015", synthetic_hicodet,
+                           training=True, max_gt_pairs=8, seed=0)
+
+    cfg600 = RunConfig(num_classes=600, max_gt_pairs=8)
+    cfg117 = RunConfig(num_classes=117, max_gt_pairs=8)
+    d600, b = next(batches_from_factory(fresh_factory(), 2, cfg600,
+                                        shuffle=False))
+    d117, b117 = next(batches_from_factory(fresh_factory(), 2, cfg117,
+                                           shuffle=False))
+    np.testing.assert_array_equal(np.asarray(d600["labels"]), b.hoi)
+    np.testing.assert_array_equal(np.asarray(d117["labels"]), b117.labels)
+    v = b.gt_valid
+    assert v.any()
+    # hoi ids map back to the verbs through the label table
+    np.testing.assert_array_equal(
+        np.asarray(HICO.hoi_to_verb)[b.hoi[v]], b.labels[v])
+    # and at least one hoi id differs from its verb id (the confusion the
+    # reference batch dict would propagate)
+    assert (b.hoi[v] != b.labels[v]).any()
+
+
 def test_zero_shot_filtering(synthetic_hicodet):
     tf = DataFactory("hicodet", "train2015", synthetic_hicodet,
                      training=True, zero_shot=True, zs_type="rare_first",
