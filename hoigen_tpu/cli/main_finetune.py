@@ -14,7 +14,8 @@ import sys
 import jax
 import numpy as np
 
-from ..data.factory import DataFactory, collate_batch
+from ..data.factory import DataFactory, collate_batch, slice_batch
+from ..data.loader import batch_indices, iter_batches
 from ..engine.checkpoint import latest_checkpoint, restore_checkpoint, \
     save_checkpoint
 from ..engine.eval import cache_hico, cache_vcoco, evaluate_hico
@@ -268,14 +269,14 @@ def make_model_config(cfg: RunConfig) -> HOIModelConfig:
 
 
 def batches_from_factory(factory, batch_size, cfg, mesh=None, shuffle=True,
-                         seed=0):
-    rng = np.random.default_rng(seed)
-    order = rng.permutation(len(factory)) if shuffle \
-        else np.arange(len(factory))
-    n = (len(order) // batch_size) * batch_size if shuffle else len(order)
-    for lo in range(0, n, batch_size):
-        idx = order[lo:lo + batch_size]
-        samples = [factory[int(i)] for i in idx]
+                         seed=0, pad_tail=False):
+    """Yield (device_feed_dict, Batch) via the parallel input pipeline
+    (data/loader.py; torch-DataLoader analog, main_tip_finetune.py:374-388).
+    With ``pad_tail`` the final short batch is padded to ``batch_size`` by
+    repeating its last sample (single jit shape for eval) and
+    ``Batch.n_real`` records the true length."""
+
+    def collate(samples):
         batch = collate_batch(samples, cfg.max_gt_pairs)
         # 600-class training associates pairs against interaction ids, not
         # verbs (reference targets['hoi'], upt_tip...py:1292-1293)
@@ -284,8 +285,19 @@ def batches_from_factory(factory, batch_size, cfg, mesh=None, shuffle=True,
              "images_clip": batch.images_clip, "clip_sizes": batch.clip_sizes,
              "boxes_h": batch.boxes_h, "boxes_o": batch.boxes_o,
              "labels": cls_ids, "gt_valid": batch.gt_valid}
-        if mesh is not None:
-            d = shard_batch(mesh, d)
+        return d, batch
+
+    def to_device(db):
+        d, batch = db
+        return shard_batch(mesh, d), batch
+
+    idx_batches = batch_indices(len(factory), batch_size, shuffle, seed,
+                                pad_tail=pad_tail)
+    for (d, batch), n_real in iter_batches(
+            factory.__getitem__, idx_batches, collate,
+            to_device=to_device if mesh is not None else None,
+            num_workers=cfg.num_workers):
+        batch.n_real = n_real
         yield d, batch
 
 
@@ -350,7 +362,8 @@ def main(cfg: RunConfig):
     if resume_path and (cfg.eval or cfg.cache or cfg.sanity):
         # eval/cache only need the weights; training resumes the full
         # state (optimizer/iteration/epoch) via Trainer.restore below
-        state = restore_checkpoint(resume_path, {"trainable": trainable})
+        state = restore_checkpoint(resume_path, {"trainable": trainable},
+                                   partial=True)
         trainable = state["trainable"]
         print(f"[load] resumed trainable params from {resume_path}")
 
@@ -361,7 +374,6 @@ def main(cfg: RunConfig):
     if cfg.sanity:
         # build + run one sample end to end (sanity_check,
         # main_tip_finetune.py:1034-1044)
-        from ..engine.hoi_model import make_train_step
         opt = make_optimizer()(trainable)
         step = jax.jit(make_train_step(model_cfg, opt))
         d, _ = next(batches_from_factory(train_factory, 1, cfg))
@@ -382,11 +394,15 @@ def main(cfg: RunConfig):
             eval_step = jax.jit(make_eval_step(model_cfg))
 
             def run_batches():
+                # pad_tail keeps eval at one jit shape; the padded rows are
+                # sliced off host-side before the meters see them
                 for d, batch in batches_from_factory(
                         test_factory, cfg.batch_size, cfg, mesh,
-                        shuffle=False):
+                        shuffle=False, pad_tail=True):
                     out = eval_step(trainable, frozen, buffers, d)
-                    yield jax.tree.map(np.asarray, out), batch
+                    out = jax.tree.map(
+                        lambda x: np.asarray(x)[:batch.n_real], out)
+                    yield out, slice_batch(batch, batch.n_real)
 
             if cfg.cache:
                 if cfg.dataset == "hicodet":
@@ -432,9 +448,11 @@ def main(cfg: RunConfig):
             print(f"[load] resumed full training state from {resume_path} "
                   f"(epoch {trainer.epoch}, iteration {trainer.iteration})")
         for epoch in range(trainer.epoch, cfg.epochs):
+            train_factory.set_epoch(epoch)
             avg = trainer.run_epoch(
-                batches_from_factory(train_factory, cfg.batch_size, cfg,
-                                     mesh, seed=cfg.seed + epoch),
+                (d for d, _ in batches_from_factory(
+                    train_factory, cfg.batch_size, cfg, mesh,
+                    seed=cfg.seed + epoch)),
                 jax.random.fold_in(rng, epoch))
             print(f"[epoch {epoch + 1}/{cfg.epochs}] loss {avg:.4f}")
         return trainer

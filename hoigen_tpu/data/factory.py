@@ -32,6 +32,17 @@ class Batch:
     gt_valid: np.ndarray      # (B, G)
     hoi: np.ndarray           # (B, G) interaction ids (hicodet)
     indices: np.ndarray       # (B,) dataset indices
+    n_real: int = -1          # non-padded rows when the tail is padded
+
+
+def slice_batch(batch: "Batch", n: int) -> "Batch":
+    """First ``n`` rows of every per-sample array (drop tail padding)."""
+    sliced = {f.name: (getattr(batch, f.name)[:n]
+                       if isinstance(getattr(batch, f.name), np.ndarray)
+                       else getattr(batch, f.name))
+              for f in dataclasses.fields(batch)}
+    sliced["n_real"] = n
+    return Batch(**sliced)
 
 
 class DataFactory:
@@ -39,7 +50,7 @@ class DataFactory:
                  training: bool, zero_shot: bool = False,
                  zs_type: str = "rare_first", num_classes: int = 117,
                  clip_resolution: int = 224, max_gt_pairs: int = 32,
-                 seed: int = 0):
+                 seed: int = 0, transform_kwargs: Optional[dict] = None):
         if name == "hicodet":
             anno = f"{data_root}/instances_{partition}.json"
             root = f"{data_root}/hico_20160224_det/images/{partition}"
@@ -57,7 +68,8 @@ class DataFactory:
         self.training = training
         self.num_classes = num_classes
         self.max_gt_pairs = max_gt_pairs
-        self.transform = DualStreamTransform(training, clip_resolution, seed)
+        self.transform = DualStreamTransform(training, clip_resolution, seed,
+                                             **(transform_kwargs or {}))
         self.zero_shot = zero_shot and name == "hicodet" and training
         self.filtered_hoi_idx: List[int] = []
         if self.zero_shot:
@@ -69,6 +81,12 @@ class DataFactory:
                                          .tolist())]
         else:
             self.keep = list(range(len(self.dataset)))
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Vary the stateless per-sample augmentation across epochs
+        (DistributedSampler.set_epoch analog)."""
+        self.epoch = epoch
 
     def __len__(self):
         return len(self.keep)
@@ -88,7 +106,9 @@ class DataFactory:
                       "labels"):
                 if k in target:
                     target[k] = target[k][m]
-        detr_img, clip_img, target = self.transform(image, target)
+        rng = np.random.default_rng(
+            (self.transform.seed, self.epoch, idx)) if self.training else None
+        detr_img, clip_img, target = self.transform(image, target, rng=rng)
         return detr_img, clip_img, target, idx
 
 
@@ -100,9 +120,11 @@ def pick_bucket(h, w, buckets: Sequence = DEFAULT_BUCKETS):
 
 
 def collate_batch(samples, max_gt_pairs: int = 32,
-                  buckets: Sequence = DEFAULT_BUCKETS,
+                  buckets: Optional[Sequence] = None,
                   label_key: str = "labels") -> Batch:
     """Pad a list of (detr_img, clip_img, target, idx) to fixed shapes."""
+    if buckets is None:
+        buckets = DEFAULT_BUCKETS   # module attribute: overridable
     b = len(samples)
     hb, wb = (0, 0)
     for img, _, _, _ in samples:
@@ -138,4 +160,4 @@ def collate_batch(samples, max_gt_pairs: int = 32,
         indices[i] = idx
     return Batch(images, mask, images_clip,
                  np.full((b, 2), float(r), np.float32),
-                 bh, bo, labels, objects, valid, hoi, indices)
+                 bh, bo, labels, objects, valid, hoi, indices, n_real=b)

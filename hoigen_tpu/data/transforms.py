@@ -127,31 +127,50 @@ def boxes_to_normalized_cxcywh(target, w, h):
 
 
 class DualStreamTransform:
-    """image, target -> (detr_image CHW, clip_image CHW, target)."""
+    """image, target -> (detr_image CHW, clip_image CHW, target).
+
+    Augmentation randomness is stateless: callers pass a per-sample ``rng``
+    (the factory derives it from (seed, epoch, index)) so parallel loader
+    workers are race-free and the sample stream is identical for any
+    ``num_workers``. Without one, a shared fallback rng preserves the old
+    single-threaded behavior.
+    """
 
     def __init__(self, training: bool, clip_resolution: int = 224,
-                 seed: int = 0):
+                 seed: int = 0, eval_min_side: int = 800,
+                 max_side: int = 1333, train_scales=TRAIN_SCALES,
+                 crop_resize_choices=(400, 500, 600),
+                 crop_range=(384, 600)):
         self.training = training
         self.clip_resolution = clip_resolution
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self.eval_min_side = eval_min_side
+        self.max_side = max_side
+        self.train_scales = train_scales
+        self.crop_resize_choices = crop_resize_choices
+        self.crop_range = crop_range
 
-    def __call__(self, image, target):
-        rng = self.rng
+    def __call__(self, image, target, rng=None):
+        rng = self.rng if rng is None else rng
         if self.training:
             if rng.random() < 0.5:
                 image, target = hflip(image, target)
             image = color_jitter(image, rng)
             if rng.random() < 0.5:
-                size = int(rng.choice(TRAIN_SCALES))
-                image, target = resize(image, target, size, 1333)
+                size = int(rng.choice(self.train_scales))
+                image, target = resize(image, target, size, self.max_side)
             else:
+                image, target = resize(
+                    image, target, int(rng.choice(self.crop_resize_choices)))
+                image, target = random_size_crop(image, target, rng,
+                                                 *self.crop_range)
                 image, target = resize(image, target,
-                                       int(rng.choice((400, 500, 600))))
-                image, target = random_size_crop(image, target, rng)
-                image, target = resize(image, target,
-                                       int(rng.choice(TRAIN_SCALES)), 1333)
+                                       int(rng.choice(self.train_scales)),
+                                       self.max_side)
         else:
-            image, target = resize(image, target, 800, 1333)
+            image, target = resize(image, target, self.eval_min_side,
+                                   self.max_side)
         r = self.clip_resolution
         clip_image, target = resize(image, target, (r, r))
         target = boxes_to_normalized_cxcywh(target, r, r)

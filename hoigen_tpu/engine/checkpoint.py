@@ -34,8 +34,25 @@ def latest_checkpoint(directory: str) -> Optional[str]:
         else None
 
 
-def restore_checkpoint(path: str, like: Any) -> Any:
-    """Restore into the structure of ``like`` (dtypes/shapes preserved)."""
-    import orbax.checkpoint as ocp
-    restored = _ckptr().restore(path, item=jax.tree.map(np.asarray, like))
-    return restored
+def restore_checkpoint(path: str, like: Any, partial: bool = False) -> Any:
+    """Restore into the structure of ``like`` (dtypes/shapes preserved).
+
+    ``partial=True`` restores only the subtree named by ``like`` from a
+    larger checkpoint (e.g. trainable params out of a full training state,
+    for eval — reference analog: the strict=False-style load in
+    main_tip_finetune.py:1013-1021)."""
+    if not partial:
+        return _ckptr().restore(path, item=jax.tree.map(np.asarray, like))
+    # Orbax's partial_restore chokes on None leaves (absent submodules),
+    # so restore the raw tree and select the subtree shaped like ``like``.
+    full = _ckptr().restore(path)
+
+    def select(saved, template):
+        if isinstance(template, dict):
+            return {k: select(saved[k], v) for k, v in template.items()}
+        if isinstance(template, (list, tuple)):
+            return type(template)(select(s, t)
+                                  for s, t in zip(saved, template))
+        return saved
+
+    return select(full, like)
