@@ -89,7 +89,7 @@ def main(argv=None):
     batch = collate_batch([factory[args.index]], cfg.max_gt_pairs)
     step = jax.jit(make_eval_step(model_cfg))
     out = step(trainable, frozen, buffers, {
-        "images": batch.images, "image_mask": batch.image_mask,
+        "images": batch.images, "image_sizes": batch.image_sizes,
         "images_clip": batch.images_clip, "clip_sizes": batch.clip_sizes,
         "boxes_h": batch.boxes_h, "boxes_o": batch.boxes_o,
         "labels": batch.labels, "gt_valid": batch.gt_valid})

@@ -281,7 +281,9 @@ def batches_from_factory(factory, batch_size, cfg, mesh=None, shuffle=True,
         # 600-class training associates pairs against interaction ids, not
         # verbs (reference targets['hoi'], upt_tip...py:1292-1293)
         cls_ids = batch.hoi if cfg.num_classes == 600 else batch.labels
-        d = {"images": batch.images, "image_mask": batch.image_mask,
+        # uint8 pixels + (h, w) sizes: ~4x less H2D traffic than normalized
+        # float + bool mask; the device reconstructs both (ops/pixels)
+        d = {"images": batch.images, "image_sizes": batch.image_sizes,
              "images_clip": batch.images_clip, "clip_sizes": batch.clip_sizes,
              "boxes_h": batch.boxes_h, "boxes_o": batch.boxes_o,
              "labels": cls_ids, "gt_valid": batch.gt_valid}

@@ -23,9 +23,11 @@ from ..ops.matching import detr_matching_cost, detr_set_criterion, \
 
 
 def detr_train_step_fns(cfg: DETRConfig, optimizer):
+    from ..ops.pixels import device_normalize
+
     @jax.jit
     def forward_and_cost(params, images, mask, gt_labels, gt_boxes):
-        out = detr_forward(params, images, mask, cfg)
+        out = detr_forward(params, device_normalize(images), mask, cfg)
         costs = jax.vmap(
             lambda lg, bx, gl, gb: detr_matching_cost(lg, bx, gl, gb))(
             out["pred_logits"], out["pred_boxes"], gt_labels, gt_boxes)
@@ -35,7 +37,7 @@ def detr_train_step_fns(cfg: DETRConfig, optimizer):
     def loss_and_update(params, opt_state, images, mask, gt_labels, gt_boxes,
                         gt_valid, rows, cols, mvalid):
         def loss_fn(p):
-            out = detr_forward(p, images, mask, cfg)
+            out = detr_forward(p, device_normalize(images), mask, cfg)
             losses = detr_set_criterion(
                 out["pred_logits"], out["pred_boxes"], gt_labels, gt_boxes,
                 gt_valid, rows, cols, mvalid, cfg.num_classes - 1)

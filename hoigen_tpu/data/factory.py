@@ -21,9 +21,10 @@ DEFAULT_BUCKETS = ((800, 1344), (1344, 800), (1088, 1088), (1344, 1344))
 
 @dataclasses.dataclass
 class Batch:
-    images: np.ndarray        # (B, 3, Hb, Wb) padded DETR stream
+    images: np.ndarray        # (B, 3, Hb, Wb) padded DETR stream, uint8
     image_mask: np.ndarray    # (B, Hb, Wb) True where padded
-    images_clip: np.ndarray   # (B, 3, r, r)
+    image_sizes: np.ndarray   # (B, 2) unpadded (h, w) — compact mask form
+    images_clip: np.ndarray   # (B, 3, r, r) uint8
     clip_sizes: np.ndarray    # (B, 2) = (r, r)
     boxes_h: np.ndarray       # (B, G, 4) normalized cxcywh (CLIP frame)
     boxes_o: np.ndarray
@@ -130,10 +131,12 @@ def collate_batch(samples, max_gt_pairs: int = 32,
     for img, _, _, _ in samples:
         bt = pick_bucket(img.shape[1], img.shape[2], buckets)
         hb, wb = max(hb, bt[0]), max(wb, bt[1])
-    images = np.zeros((b, 3, hb, wb), np.float32)
+    img_dtype = samples[0][0].dtype
+    images = np.zeros((b, 3, hb, wb), img_dtype)
     mask = np.ones((b, hb, wb), bool)
+    sizes = np.zeros((b, 2), np.int32)
     r = samples[0][1].shape[-1]
-    images_clip = np.zeros((b, 3, r, r), np.float32)
+    images_clip = np.zeros((b, 3, r, r), img_dtype)
     g = max_gt_pairs
     bh = np.zeros((b, g, 4), np.float32)
     bo = np.zeros((b, g, 4), np.float32)
@@ -146,6 +149,7 @@ def collate_batch(samples, max_gt_pairs: int = 32,
         _, h, w = img.shape
         images[i, :, :h, :w] = img
         mask[i, :h, :w] = False
+        sizes[i] = (h, w)
         images_clip[i] = cimg
         n = min(len(tgt["boxes_h"]), g)
         if n:
@@ -158,6 +162,6 @@ def collate_batch(samples, max_gt_pairs: int = 32,
                 hoi[i, :n] = tgt["hoi"][:n]
             valid[i, :n] = True
         indices[i] = idx
-    return Batch(images, mask, images_clip,
+    return Batch(images, mask, sizes, images_clip,
                  np.full((b, 2), float(r), np.float32),
                  bh, bo, labels, objects, valid, hoi, indices, n_real=b)

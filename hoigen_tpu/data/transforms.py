@@ -113,6 +113,12 @@ def to_normalized_array(image):
     return arr.transpose(2, 0, 1)
 
 
+def to_chw_uint8(image):
+    """PIL -> uint8 (3, H, W). Normalization happens on-device
+    (ops/pixels.device_normalize): uint8 frames are 4x cheaper to ship."""
+    return np.asarray(image, np.uint8).transpose(2, 0, 1)
+
+
 def boxes_to_normalized_cxcywh(target, w, h):
     out = dict(target)
     scale = np.asarray([w, h, w, h], np.float32)
@@ -175,5 +181,4 @@ class DualStreamTransform:
         clip_image, target = resize(image, target, (r, r))
         target = boxes_to_normalized_cxcywh(target, r, r)
         target["size"] = np.asarray([r, r], np.float32)
-        return (to_normalized_array(image), to_normalized_array(clip_image),
-                target)
+        return to_chw_uint8(image), to_chw_uint8(clip_image), target

@@ -22,6 +22,7 @@ from ..models.detr import DETRConfig, detr_forward, init_detr_params, \
     postprocess
 from ..models.dino import dino_forward, init_dino_params
 from ..models.upt import UPTConfig, init_upt_params, upt_forward
+from ..ops.pixels import device_normalize, pad_mask_from_sizes
 from .partition import merge_params, split_params, trainable_predicate, \
     label_tree, lr_group
 
@@ -55,9 +56,16 @@ def _forward(trainable, frozen, buffers, batch, cfg: HOIModelConfig,
              training, rng=None):
     params = merge_params(trainable, frozen["upt"])
     dtype = jnp.dtype(cfg.dtype)
-    images = batch["images"].astype(dtype)
-    detr_out = detr_forward(frozen["detr"], images, batch["image_mask"],
-                            cfg.detr)
+    # feeds ship uint8 pixels + (h, w) sizes; normalization and the padding
+    # plane are reconstructed on-device (ops/pixels). Float feeds (synthetic
+    # benches, parity tests) pass through unchanged.
+    images = device_normalize(batch["images"], dtype)
+    if "image_mask" in batch:
+        image_mask = batch["image_mask"]
+    else:
+        image_mask = pad_mask_from_sizes(batch["image_sizes"],
+                                         images.shape[2], images.shape[3])
+    detr_out = detr_forward(frozen["detr"], images, image_mask, cfg.detr)
     detr_out = jax.lax.stop_gradient(detr_out)
     # postprocess at the CLIP-stream frame (reference uses the CLIP image
     # sizes throughout, main path :1585-1605)
@@ -79,7 +87,7 @@ def _forward(trainable, frozen, buffers, batch, cfg: HOIModelConfig,
                       "obj_cls": batch["gen_obj_cls"],
                       "verb_multihot": batch["gen_verb_multihot"]}
     return upt_forward(params, buffers, post,
-                       batch["images_clip"].astype(jnp.float32),
+                       device_normalize(batch["images_clip"], jnp.float32),
                        batch["clip_sizes"], cfg.clip, cfg.upt,
                        dino_apply=dino_apply, targets=targets,
                        training=training, rng=rng, gen_sample=gen_sample)

@@ -1,0 +1,43 @@
+"""Device-side pixel preparation.
+
+The reference normalizes images on the host and ships float32 tensors to
+the GPU (torchvision Normalize inside the DataLoader,
+/root/reference/utils_tip_cache_and_union_finetune.py:86-114). At TPU
+throughput that design is H2D-bound: 800x1344 float32 frames are ~13MB
+each, ~3GB/s of PCIe at 230 img/s. TPU-native layout: the loader ships
+uint8 pixels (4x smaller) plus per-image (h, w) sizes (the bool padding
+plane is another 1MB/frame), and the device reconstructs — the divide,
+normalize and mask ops fuse into the first convolution's epilogue under
+XLA.
+"""
+import jax.lax
+import jax.numpy as jnp
+import numpy as np
+
+# torchvision ImageNet stats — both streams use them (reference parity)
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def device_normalize(images, dtype=jnp.float32):
+    """(B, 3, H, W) uint8 pixels -> ImageNet-normalized ``dtype``.
+
+    Float inputs are assumed already normalized (host float path,
+    synthetic benches) and only cast — both feed conventions run through
+    the same jitted model code.
+    """
+    if not jnp.issubdtype(images.dtype, jnp.integer):
+        return images.astype(dtype)
+    x = images.astype(jnp.float32) / 255.0
+    mean = IMAGENET_MEAN.reshape(1, 3, 1, 1)
+    std = IMAGENET_STD.reshape(1, 3, 1, 1)
+    return ((x - mean) / std).astype(dtype)
+
+
+def pad_mask_from_sizes(sizes, height: int, width: int):
+    """(B, 2) int (h, w) unpadded extents -> bool (B, H, W), True = padding."""
+    ys = jax.lax.broadcasted_iota(jnp.int32, (1, height, width), 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, height, width), 2)
+    h = sizes[:, 0].astype(jnp.int32)[:, None, None]
+    w = sizes[:, 1].astype(jnp.int32)[:, None, None]
+    return (ys >= h) | (xs >= w)

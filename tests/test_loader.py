@@ -126,6 +126,58 @@ def test_transform_stateless_rng():
     assert a1.shape != a3.shape or not np.array_equal(a1, a3)
 
 
+def test_pixels_device_normalize_and_mask():
+    """Device-side uint8 normalization == the host float path; the
+    device-built padding plane == the collated bool mask."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from hoigen_tpu.data.transforms import to_chw_uint8, to_normalized_array
+    from hoigen_tpu.ops.pixels import device_normalize, pad_mask_from_sizes
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (40, 56, 3), dtype=np.uint8))
+    ref = to_normalized_array(img)[None]
+    got = np.asarray(device_normalize(jnp.asarray(to_chw_uint8(img)[None])))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    # float input passes through (synthetic benches / parity tests)
+    f = rng.normal(size=(1, 3, 8, 8)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(device_normalize(
+        jnp.asarray(f))), f)
+
+    sizes = np.asarray([[3, 5], [7, 2]], np.int32)
+    m = np.asarray(pad_mask_from_sizes(jnp.asarray(sizes), 8, 6))
+    exp = np.ones((2, 8, 6), bool)
+    exp[0, :3, :5] = False
+    exp[1, :7, :2] = False
+    np.testing.assert_array_equal(m, exp)
+
+
+def test_collate_uint8_and_sizes():
+    """collate_batch ships uint8 pixels and (h, w) sizes that reproduce the
+    bool mask exactly."""
+    import jax.numpy as jnp
+    from hoigen_tpu.data.factory import collate_batch
+    from hoigen_tpu.ops.pixels import pad_mask_from_sizes
+
+    rng = np.random.default_rng(1)
+
+    def sample(h, w):
+        img = rng.integers(0, 255, (3, h, w), dtype=np.uint8)
+        cimg = rng.integers(0, 255, (3, 32, 32), dtype=np.uint8)
+        tgt = {"boxes_h": np.zeros((1, 4), np.float32),
+               "boxes_o": np.zeros((1, 4), np.float32),
+               "labels": np.asarray([0]), "object": np.asarray([0])}
+        return img, cimg, tgt, 0
+
+    b = collate_batch([sample(40, 56), sample(48, 44)], 4,
+                      buckets=((48, 56),))
+    assert b.images.dtype == np.uint8 and b.images_clip.dtype == np.uint8
+    np.testing.assert_array_equal(b.image_sizes, [[40, 56], [48, 44]])
+    np.testing.assert_array_equal(
+        np.asarray(pad_mask_from_sizes(jnp.asarray(b.image_sizes), 48, 56)),
+        b.image_mask)
+
+
 def test_factory_loader_parity(tmp_path):
     """batches_from_factory: threaded == synchronous on a tiny on-disk
     dataset, and eval tail padding reports n_real."""

@@ -1,0 +1,173 @@
+"""Input-pipeline benchmark: host decode+transform overlapped with device
+eval (the torch-DataLoader-worker role, main_tip_finetune.py:374-388).
+
+Measures three rates on synthetic JPEGs at realistic HICO-DET sizes:
+  host_ips    — loader-only (decode -> dual-stream transform -> collate)
+  device_ips  — eval-step-only on a resident batch (bench.py methodology)
+  e2e_ips     — loader feeding the eval step through the prefetch queue
+
+and reports overlap_efficiency = e2e / min(host, device): 1.0 means the
+pipeline fully hides the slower side behind the faster one. The absolute
+host rate scales with host cores (this box has 1; a v5e host has ~112 per
+8 chips), so the efficiency — not the host-bound absolute — is the
+architecture's figure of merit.
+
+  python tools/bench_io.py [--images 48] [--batch 8] [--workers N]
+"""
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_jpeg_dataset(root, n_images, seed=0):
+    from PIL import Image
+    from hoigen_tpu.labels import HICO
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "hico_20160224_det/images/test2015")
+    os.makedirs(img_dir, exist_ok=True)
+    names, sizes, annos = [], [], []
+    for i in range(n_images):
+        # typical HICO-DET resolution band
+        w, h = int(rng.integers(480, 641)), int(rng.integers(360, 481))
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)) \
+            .save(os.path.join(img_dir, f"im_{i}.jpg"), quality=90)
+        names.append(f"im_{i}.jpg")
+        sizes.append([w, h])
+        hoi = int(rng.integers(0, 600))
+        _, obj, verb = HICO.class_corr[hoi]
+        annos.append({"boxes_h": [[10, 10, 120, 150]],
+                      "boxes_o": [[40, 30, 200, 180]],
+                      "hoi": [hoi], "verb": [verb], "object": [obj]})
+    inst = {"annotation": annos, "filenames": names, "empty": [],
+            "objects": HICO.objects, "verbs": HICO.verbs,
+            "correspondence": HICO.class_corr, "size": sizes}
+    with open(os.path.join(root, "instances_test2015.json"), "w") as f:
+        json.dump(inst, f)
+    return root
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=48)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--workers", type=int,
+                    default=max(os.cpu_count() or 1, 1))
+    ap.add_argument("--epochs", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    from hoigen_tpu.cli.main_finetune import batches_from_factory
+    from hoigen_tpu.data import DataFactory
+    from hoigen_tpu.engine.hoi_model import (HOIModelConfig, init_hoi_model,
+                                             make_eval_step,
+                                             make_example_batch)
+    from hoigen_tpu.models.cache import random_caches
+    from hoigen_tpu.models.upt import UPTConfig
+    from hoigen_tpu.utils.config import RunConfig
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    tmp = tempfile.mkdtemp(prefix="hoigen_io_bench_")
+    log(f"bench_io: writing {args.images} jpegs to {tmp}")
+    make_jpeg_dataset(tmp, args.images)
+    factory = DataFactory("hicodet", "test2015", tmp, training=False,
+                          max_gt_pairs=8)
+    cfg = RunConfig(num_workers=args.workers, max_gt_pairs=8,
+                    num_classes=600)
+
+    # --- host-only ---------------------------------------------------------
+    def host_pass():
+        t0 = time.perf_counter()
+        n = 0
+        for d, b in batches_from_factory(factory, args.batch, cfg,
+                                         shuffle=False, pad_tail=True):
+            n += b.n_real
+        return n / (time.perf_counter() - t0)
+
+    host_pass()                      # warm page cache
+    host_ips = float(np.median([host_pass() for _ in range(args.epochs)]))
+    log(f"bench_io: host-only {host_ips:.1f} img/s "
+        f"({args.workers} workers)")
+
+    # --- device-only (flagship eval step, bench.py config) -----------------
+    mcfg = HOIModelConfig(upt=UPTConfig(num_classes=600, num_shot=2,
+                                        cache_model="gen_feat",
+                                        use_pallas_cache=True),
+                          dtype="bfloat16")
+    caches = random_caches(600, 2, num_objects=80)
+    init = jax.jit(lambda r: init_hoi_model(r, mcfg, caches))
+    trainable, frozen, buffers = jax.block_until_ready(
+        init(jax.random.PRNGKey(0)))
+    base_step = make_eval_step(mcfg)
+
+    @jax.jit
+    def step(tr, fz, bf, b):
+        out = base_step(tr, fz, bf, b)
+        return out["detection_scores"].sum()
+
+    resident = jax.device_put(make_example_batch(mcfg, batch_size=args.batch,
+                                                 detr_hw=(800, 1344)))
+    log("bench_io: compiling eval step...")
+    np.asarray(step(trainable, frozen, buffers, resident))
+    t0 = time.perf_counter()
+    k = 6
+    acc = []
+    for _ in range(k):
+        acc.append(step(trainable, frozen, buffers, resident))
+    np.asarray(acc[-1])
+    device_ips = args.batch * k / (time.perf_counter() - t0)
+    log(f"bench_io: device-only {device_ips:.1f} img/s")
+
+    # --- end to end --------------------------------------------------------
+    # with a mesh the producer thread also issues the (async) device_put,
+    # so the H2D transfer overlaps compute like the rest of the host work
+    from hoigen_tpu.parallel import make_mesh
+    mesh = make_mesh(n_data=1)
+
+    def e2e_pass():
+        t0 = time.perf_counter()
+        n, last = 0, None
+        for d, b in batches_from_factory(factory, args.batch, cfg, mesh,
+                                         shuffle=False, pad_tail=True):
+            last = step(trainable, frozen, buffers, d)
+            n += b.n_real
+        np.asarray(last)
+        return n / (time.perf_counter() - t0)
+
+    e2e_pass()                       # warm (compile shapes already cached)
+    e2e_ips = float(np.median([e2e_pass() for _ in range(args.epochs)]))
+
+    # H2D bandwidth: on an axon tunnel this is ~50MB/s and dominates e2e;
+    # on a co-located host (PCIe/ICI) it is GB/s and e2e == min(host, dev)
+    feed, batch0 = next(iter(batches_from_factory(
+        factory, args.batch, cfg, shuffle=False, pad_tail=True)))
+    nbytes = sum(np.asarray(v).nbytes for v in feed.values())
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(feed))
+    h2d_mbps = nbytes / (time.perf_counter() - t0) / 1e6
+    transfer_ips = args.batch / (nbytes / (h2d_mbps * 1e6))
+    bound = min(host_ips, device_ips, transfer_ips)
+    print(json.dumps({
+        "metric": "input_pipeline_overlap_efficiency",
+        "value": round(e2e_ips / bound, 3),
+        "unit": "fraction",
+        "host_ips": round(host_ips, 1),
+        "device_ips": round(device_ips, 1),
+        "e2e_ips": round(e2e_ips, 1),
+        "h2d_mb_per_s": round(h2d_mbps, 1),
+        "feed_mb_per_batch": round(nbytes / 1e6, 1),
+        "workers": args.workers,
+        "host_cores": os.cpu_count(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
