@@ -31,7 +31,10 @@ from ..models.clip.tokenizer import tokenize
 from ..models.detr import DETRConfig
 from ..models.proposals import ProposalConfig
 from ..models.upt import UPTConfig
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import (global_batch_from_local, global_mesh,
+                        host_local_rows, init_distributed,
+                        local_batch_indices, local_n_real, make_mesh,
+                        process_allgather_ragged, replicate, shard_batch)
 from ..utils.config import RunConfig, parse_config
 
 
@@ -289,21 +292,34 @@ def batches_from_factory(factory, batch_size, cfg, mesh=None, shuffle=True,
              "labels": cls_ids, "gt_valid": batch.gt_valid}
         return d, batch
 
+    multi = jax.process_count() > 1
+
     def to_device(db):
         d, batch = db
+        if multi:
+            return global_batch_from_local(mesh, d), batch
         return shard_batch(mesh, d), batch
 
-    idx_batches = batch_indices(len(factory), batch_size, shuffle, seed,
-                                pad_tail=pad_tail)
+    if multi:
+        # every process walks the same global stream, loading only its rows
+        idx_batches = local_batch_indices(len(factory), batch_size, shuffle,
+                                          seed, pad_tail=pad_tail)
+    else:
+        idx_batches = batch_indices(len(factory), batch_size, shuffle, seed,
+                                    pad_tail=pad_tail)
     for (d, batch), n_real in iter_batches(
             factory.__getitem__, idx_batches, collate,
             to_device=to_device if mesh is not None else None,
             num_workers=cfg.num_workers):
-        batch.n_real = n_real
+        batch.n_real = local_n_real(n_real, batch_size) if multi else n_real
         yield d, batch
 
 
 def main(cfg: RunConfig):
+    # multi-host: no-op unless COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID
+    # are set (the reference's mp.spawn+DDP launcher role,
+    # main_tip_finetune.py:328-332)
+    multi = init_distributed()
     np.random.seed(cfg.seed)
     rng = jax.random.PRNGKey(cfg.seed)
     model_cfg = make_model_config(cfg)
@@ -385,7 +401,7 @@ def main(cfg: RunConfig):
               f"n_p={float(metrics['n_p'])}")
         return metrics
 
-    mesh = make_mesh(n_data=cfg.devices)
+    mesh = global_mesh() if multi else make_mesh(n_data=cfg.devices)
     with mesh:
         rep = replicate(mesh)
         trainable = jax.device_put(trainable, rep)
@@ -397,16 +413,23 @@ def main(cfg: RunConfig):
 
             def run_batches():
                 # pad_tail keeps eval at one jit shape; the padded rows are
-                # sliced off host-side before the meters see them
+                # sliced off host-side before the meters see them. Under
+                # multi-host, host_local_rows extracts this process's shard
+                # and the meters merge via process_allgather_ragged below.
                 for d, batch in batches_from_factory(
                         test_factory, cfg.batch_size, cfg, mesh,
                         shuffle=False, pad_tail=True):
                     out = eval_step(trainable, frozen, buffers, d)
                     out = jax.tree.map(
-                        lambda x: np.asarray(x)[:batch.n_real], out)
+                        lambda x: host_local_rows(x)[:batch.n_real], out)
                     yield out, slice_batch(batch, batch.n_real)
 
             if cfg.cache:
+                if multi:
+                    raise NotImplementedError(
+                        "official-format caching writes per-image files; "
+                        "run it single-process (the reference caches on "
+                        "rank 0 only, utils...py:413)")
                 if cfg.dataset == "hicodet":
                     cache_hico(run_batches(), test_factory.dataset,
                                model_cfg.upt.proposals,
@@ -426,14 +449,16 @@ def main(cfg: RunConfig):
                 run_batches(), test_factory.dataset, cfg.num_classes,
                 model_cfg.upt.proposals,
                 HICO.object_n_verb_to_interaction,
-                zs_unseen=HICO.unseen_index[cfg.zs_type] if cfg.zs else None)
-            print(f"The mAP is {result['mAP'] * 100:.2f}, "
-                  f"rare: {result['mAP_rare'] * 100:.2f}, "
-                  f"none-rare: {result['mAP_non_rare'] * 100:.2f}")
-            if cfg.zs:
-                print(f"zero-shot({cfg.zs_type}) "
-                      f"unseen: {result['mAP_unseen'] * 100:.2f} "
-                      f"seen: {result['mAP_seen'] * 100:.2f}")
+                zs_unseen=HICO.unseen_index[cfg.zs_type] if cfg.zs else None,
+                gather_fn=process_allgather_ragged if multi else None)
+            if jax.process_index() == 0:
+                print(f"The mAP is {result['mAP'] * 100:.2f}, "
+                      f"rare: {result['mAP_rare'] * 100:.2f}, "
+                      f"none-rare: {result['mAP_non_rare'] * 100:.2f}")
+                if cfg.zs:
+                    print(f"zero-shot({cfg.zs_type}) "
+                          f"unseen: {result['mAP_unseen'] * 100:.2f} "
+                          f"seen: {result['mAP_seen'] * 100:.2f}")
             return result
 
         # training

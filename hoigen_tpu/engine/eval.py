@@ -40,19 +40,25 @@ def _recover_gt(boxes_cxcywh, size_hw):
 
 def evaluate_hico(run_batches, dataset, num_classes: int,
                   proposal_cfg, object_n_verb_to_interaction=None,
-                  zs_unseen: Optional[list] = None):
+                  zs_unseen: Optional[list] = None, gather_fn=None):
     """run_batches: iterable of (host_outputs, batch) where host_outputs has
     detection_scores (B, P, C), boxes (B, S, 4), objects (B, P) and batch
     carries GT (normalized cxcywh in the CLIP frame) + clip_sizes + indices.
 
     Returns dict with ap (600,), mAP full/rare/non-rare and, for zero-shot,
     seen/unseen (main_tip_finetune.py:908-950).
+
+    ``gather_fn`` (multi-host eval) merges the per-process (scores, inter,
+    labels) triplets before the AP computation — pass
+    parallel.process_allgather_ragged; the reference analog is the meter
+    all_gather in pocket/pocket/utils/distributed.py:17-64.
     """
     associate = BoxPairAssociation(min_iou=0.5)
     num_gt = dataset.anno_interaction
     meter = DetectionAPMeter(600, num_gt=num_gt, algorithm="11P")
     px, py = (np.asarray(x) for x in pair_indices(proposal_cfg))
     conv = object_n_verb_to_interaction
+    acc_s, acc_i, acc_l = [], [], []
 
     for outputs, batch in run_batches:
         scores_all = np.asarray(outputs["detection_scores"])
@@ -83,8 +89,17 @@ def evaluate_hico(run_batches, dataset, num_classes: int,
                         (gt_h[gt_idx], gt_o[gt_idx]),
                         (det["boxes_h"][det_idx], det["boxes_o"][det_idx]),
                         det["scores"][det_idx])
-            meter.append(det["scores"], inter, labels)
+            acc_s.append(det["scores"])
+            acc_i.append(inter)
+            acc_l.append(labels)
 
+    cat = {"scores": np.concatenate(acc_s) if acc_s else np.zeros(0),
+           "inter": np.concatenate(acc_i) if acc_i
+           else np.zeros(0, np.int64),
+           "labels": np.concatenate(acc_l) if acc_l else np.zeros(0)}
+    if gather_fn is not None:
+        cat = gather_fn(cat)
+    meter.append(cat["scores"], cat["inter"], cat["labels"])
     ap = meter.eval()
     num_gt = np.asarray(num_gt, np.float64)
     rare = num_gt < 10
