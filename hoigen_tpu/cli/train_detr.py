@@ -103,14 +103,18 @@ def main(argv=None):
     p.add_argument("--output-dir", default="outputs/detr")
     args = p.parse_args(argv)
 
-    cfg = DETRConfig(num_classes=81)
+    # fused encoder attention is inference-only (no VJP); training
+    # differentiates through the encoder, so keep the XLA path
+    cfg = DETRConfig(num_classes=81, fused_encoder_attention=False)
     if args.pretrained and os.path.exists(args.pretrained):
+        import dataclasses
         import torch
         from ..models.detr.convert import torch_detr_state_dict_to_params
         ckpt = torch.load(args.pretrained, map_location="cpu",
                           weights_only=False)
         sd = ckpt.get("model", ckpt.get("model_state_dict", ckpt))
         params, cfg = torch_detr_state_dict_to_params(sd)
+        cfg = dataclasses.replace(cfg, fused_encoder_attention=False)
         print(f"[load] {args.pretrained}")
     else:
         params = init_detr_params(jax.random.PRNGKey(0), cfg)

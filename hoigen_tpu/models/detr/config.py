@@ -14,3 +14,11 @@ class DETRConfig:
     num_queries: int = 100
     backbone_dim: int = 2048     # ResNet-50 C5
     dropout: float = 0.1
+    # fuse encoder self-attention into a Pallas kernel (scores never touch
+    # HBM); auto-falls back to XLA off-TPU. Inference-only (no VJP) — the
+    # offline DETR finetune (cli/train_detr.py) keeps it off to
+    # differentiate. Default OFF: measured on v5e at the eval bucket
+    # (B16,H8,L1050,D32) the kernel runs 8x slower than XLA's softmax
+    # fusion (42ms vs 5ms/layer) — grid-step overhead dominates at head
+    # dim 32. Kept for iteration; see ops/attention.py.
+    fused_encoder_attention: bool = False

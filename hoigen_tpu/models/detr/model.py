@@ -59,11 +59,36 @@ def _ffn(p, x):
     return h @ p["lin2_w"].T + p["lin2_b"]
 
 
-def encoder_layer(p, src, pos, key_padding_mask, num_heads):
+def _mha_fused(p, q, kv, num_heads, key_padding_mask, kv_pos):
+    """Same math as clip.model.mha but through the fused Pallas attention
+    (ops/attention.py): projections and output stay XLA; the score/softmax/
+    value contraction never materializes in HBM."""
+    from ...ops.attention import fused_attention
+    b, lq, e = q.shape
+    hd = e // num_heads
+    w_q, w_k, w_v = jnp.split(p["w_qkv"], 3, axis=0)
+    b_q, b_k, b_v = jnp.split(p["b_qkv"], 3, axis=0)
+    k_in = kv if kv_pos is None else kv + kv_pos
+    qh = (q @ w_q.T + b_q).reshape(b, lq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = (k_in @ w_k.T + b_k).reshape(b, lq, num_heads, hd) \
+        .transpose(0, 2, 1, 3)
+    vh = (kv @ w_v.T + b_v).reshape(b, lq, num_heads, hd).transpose(0, 2, 1, 3)
+    bias = None if key_padding_mask is None else \
+        jnp.where(key_padding_mask, -1e9, 0.0).astype(jnp.float32)
+    o = fused_attention(qh, kh, vh, key_bias=bias)
+    out = o.transpose(0, 2, 1, 3).reshape(b, lq, e)
+    return out @ p["w_out"].T + p["b_out"]
+
+
+def encoder_layer(p, src, pos, key_padding_mask, num_heads, fused=False):
     q = src + pos
-    src = layer_norm(src + mha(p["attn"], q, src, num_heads,
-                               key_padding_mask=key_padding_mask,
-                               kv_pos=pos), p["norm1"])
+    if fused:
+        a = _mha_fused(p["attn"], q, src, num_heads,
+                       key_padding_mask=key_padding_mask, kv_pos=pos)
+    else:
+        a = mha(p["attn"], q, src, num_heads,
+                key_padding_mask=key_padding_mask, kv_pos=pos)
+    src = layer_norm(src + a, p["norm1"])
     return layer_norm(src + _ffn(p, src), p["norm2"])
 
 
@@ -85,8 +110,10 @@ def transformer_forward(params, src, mask, query_embed, pos_embed,
     memory (B, L, D)."""
     b = src.shape[0]
     memory = src
+    fused = cfg.fused_encoder_attention and jax.default_backend() == "tpu"
     for p in params["encoder"]:
-        memory = encoder_layer(p, memory, pos_embed, mask, cfg.nheads)
+        memory = encoder_layer(p, memory, pos_embed, mask, cfg.nheads,
+                               fused=fused)
     tgt = jnp.zeros((b, cfg.num_queries, cfg.hidden_dim), src.dtype)
     qp = jnp.broadcast_to(query_embed, (b, *query_embed.shape))
     intermediates = []

@@ -29,6 +29,10 @@ def _conv_bn(x, p, stride=1, padding=0, relu=True):
 
 
 def _max_pool_3x3_s2(x):
+    # reduce_window looks slow in isolation (48ms standalone at the eval
+    # bucket vs 14ms for a shifted-max decomposition) but wins in-graph:
+    # XLA fuses it with the stem conv (233 vs 203 img/s whole-pipeline on
+    # v5e). Keep the fusable form; don't hand-schedule this one.
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
         [(0, 0), (0, 0), (1, 1), (1, 1)])

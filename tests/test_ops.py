@@ -300,3 +300,28 @@ def test_fused_cache_logits_grads():
     for a, bb in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_fused_attention_parity():
+    """Pallas fused attention (interpret mode) == the XLA reference math,
+    including key-padding bias and non-block-multiple lengths."""
+    import jax.numpy as jnp
+    from hoigen_tpu.ops.attention import _xla_attention, fused_attention
+
+    rng = np.random.default_rng(0)
+    b, h, l, d = 2, 3, 70, 32
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+               for _ in range(3))
+    bias = jnp.asarray(
+        np.where(rng.random((b, l)) < 0.2, -1e9, 0.0).astype(np.float32))
+    ref = _xla_attention(q, k, v, bias, 1.0 / np.sqrt(d))
+    got = fused_attention(q, k, v, key_bias=bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+    # no bias path
+    ref = _xla_attention(q, k, v, None, 1.0 / np.sqrt(d))
+    got = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
