@@ -244,6 +244,9 @@ def maybe_gen_features(cfg: RunConfig, clip_params, model_cfg, pair):
 
 def make_model_config(cfg: RunConfig) -> HOIModelConfig:
     num_detr_classes = 81 if cfg.dataset == "hicodet" else 92
+    use_pallas_cache = (jax.default_backend() == "tpu"
+                        if cfg.use_pallas_cache is None
+                        else cfg.use_pallas_cache)
     return HOIModelConfig(
         clip=VIT_B16 if cfg.use_insadapter else
         CLIPConfig(use_adapter=False),
@@ -259,6 +262,7 @@ def make_model_config(cfg: RunConfig) -> HOIModelConfig:
             use_mlp_proj=cfg.use_mlp_proj, obj_affordance=cfg.obj_affordance,
             prior_method=cfg.prior_method, vis_prompt_num=cfg.vis_prompt_num,
             use_consistloss=cfg.use_consistloss, tpt=cfg.tpt,
+            use_pallas_cache=use_pallas_cache,
             global_values_mode=cfg.global_values_mode,
             proposals=ProposalConfig(
                 human_idx=cfg.human_idx,
@@ -416,13 +420,21 @@ def main(cfg: RunConfig):
                 # sliced off host-side before the meters see them. Under
                 # multi-host, host_local_rows extracts this process's shard
                 # and the meters merge via process_allgather_ragged below.
+                # One batch of lookahead: step N+1 is dispatched (async)
+                # before N's outputs are consumed, so the chip computes
+                # N+1 while the host runs association/meters on N.
+                prev = None
                 for d, batch in batches_from_factory(
                         test_factory, cfg.batch_size, cfg, mesh,
                         shuffle=False, pad_tail=True):
                     out = eval_step(trainable, frozen, buffers, d)
                     out = jax.tree.map(
                         lambda x: host_local_rows(x)[:batch.n_real], out)
-                    yield out, slice_batch(batch, batch.n_real)
+                    if prev is not None:
+                        yield prev
+                    prev = out, slice_batch(batch, batch.n_real)
+                if prev is not None:
+                    yield prev
 
             if cfg.cache:
                 if multi:

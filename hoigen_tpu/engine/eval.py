@@ -81,14 +81,16 @@ def evaluate_hico(run_batches, dataset, num_classes: int,
             gt_o = _recover_gt(batch.boxes_o[i][gv], batch.clip_sizes[i])
             gt_hoi = np.asarray(batch.hoi[i][gv])
             labels = np.zeros(len(inter))
-            for hoi_idx in np.unique(inter):
+            # only classes present in BOTH GT and detections can produce
+            # positives — iterating GT classes (<=32) instead of predicted
+            # classes (~hundreds) cuts the host association loop ~20x
+            for hoi_idx in np.intersect1d(gt_hoi, inter):
                 gt_idx = np.nonzero(gt_hoi == hoi_idx)[0]
                 det_idx = np.nonzero(inter == hoi_idx)[0]
-                if len(gt_idx):
-                    labels[det_idx] = associate(
-                        (gt_h[gt_idx], gt_o[gt_idx]),
-                        (det["boxes_h"][det_idx], det["boxes_o"][det_idx]),
-                        det["scores"][det_idx])
+                labels[det_idx] = associate(
+                    (gt_h[gt_idx], gt_o[gt_idx]),
+                    (det["boxes_h"][det_idx], det["boxes_o"][det_idx]),
+                    det["scores"][det_idx])
             acc_s.append(det["scores"])
             acc_i.append(inter)
             acc_l.append(labels)

@@ -115,6 +115,9 @@ class RunConfig:
     devices: Optional[int] = None          # data-mesh size (None = all)
     dtype: str = "float32"
     max_gt_pairs: int = 32
+    # fused cache-scoring kernel (ops/pallas_cache.py, forward + VJP so it
+    # serves train and eval). None = auto: on when running on TPU
+    use_pallas_cache: Optional[bool] = None
 
     def save(self, path: str):
         with open(path, "w") as f:
