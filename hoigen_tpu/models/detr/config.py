@@ -17,8 +17,7 @@ class DETRConfig:
     # fuse encoder self-attention into a Pallas kernel (scores never touch
     # HBM); auto-falls back to XLA off-TPU. Inference-only (no VJP) — the
     # offline DETR finetune (cli/train_detr.py) keeps it off to
-    # differentiate. Default OFF: measured on v5e at the eval bucket
-    # (B16,H8,L1050,D32) the kernel runs 8x slower than XLA's softmax
-    # fusion (42ms vs 5ms/layer) — grid-step overhead dominates at head
-    # dim 32. Kept for iteration; see ops/attention.py.
-    fused_encoder_attention: bool = False
+    # differentiate. Measured on v5e at the eval bucket (B16,H8,L1050,D32):
+    # 1.8ms/layer vs 2.7ms for XLA's fusion, after blocking over all heads
+    # at once to keep DMAs contiguous (see ops/attention.py docstring).
+    fused_encoder_attention: bool = True

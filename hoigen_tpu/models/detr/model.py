@@ -62,7 +62,13 @@ def _ffn(p, x):
 def _mha_fused(p, q, kv, num_heads, key_padding_mask, kv_pos):
     """Same math as clip.model.mha but through the fused Pallas attention
     (ops/attention.py): projections and output stay XLA; the score/softmax/
-    value contraction never materializes in HBM."""
+    value contraction never materializes in HBM.
+
+    q/k/v heads are cast to bf16 before the kernel (the f32 sine positions
+    otherwise promote the whole chain to f32, which doubles the kernel's
+    VMEM footprint past the 16MB scoped limit). The surrounding bf16 tower
+    already runs every matmul in bf16, so this adds no new precision class;
+    scores still accumulate in f32 inside the kernel."""
     from ...ops.attention import fused_attention
     b, lq, e = q.shape
     hd = e // num_heads
@@ -73,10 +79,11 @@ def _mha_fused(p, q, kv, num_heads, key_padding_mask, kv_pos):
     kh = (k_in @ w_k.T + b_k).reshape(b, lq, num_heads, hd) \
         .transpose(0, 2, 1, 3)
     vh = (kv @ w_v.T + b_v).reshape(b, lq, num_heads, hd).transpose(0, 2, 1, 3)
+    qh, kh, vh = (x.astype(jnp.bfloat16) for x in (qh, kh, vh))
     bias = None if key_padding_mask is None else \
         jnp.where(key_padding_mask, -1e9, 0.0).astype(jnp.float32)
     o = fused_attention(qh, kh, vh, key_bias=bias)
-    out = o.transpose(0, 2, 1, 3).reshape(b, lq, e)
+    out = o.astype(q.dtype).transpose(0, 2, 1, 3).reshape(b, lq, e)
     return out @ p["w_out"].T + p["b_out"]
 
 

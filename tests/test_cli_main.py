@@ -105,3 +105,44 @@ def test_main_train_resume_eval(tiny_dataset, tmp_path, monkeypatch):
     result = mf.main(RunConfig(**{**common, "eval": True, "resume": out}))
     assert "mAP" in result and np.isfinite(result["mAP"])
     assert result["ap"].shape == (600,)
+
+
+def test_inference_cli(tiny_dataset, tmp_path, monkeypatch):
+    """Drive cli.inference end to end on the tiny fixture: default mode
+    (action listing + numbered-boxes + top-k figures) and --action /
+    --failure modes (reference inference.py:333-397)."""
+    import functools
+    import hoigen_tpu.data.factory as factory_mod
+    import hoigen_tpu.cli.main_finetune as mf
+    import hoigen_tpu.cli.inference as inf
+    from hoigen_tpu.data import DataFactory
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(mf, "make_model_config", _tiny_model_config)
+    # inference.main imports DataFactory lazily from data.factory; patch it
+    # at the source module
+    monkeypatch.setattr(
+        factory_mod, "DataFactory",
+        functools.partial(DataFactory, clip_resolution=32,
+                          transform_kwargs=dict(
+                              eval_min_side=48, max_side=80,
+                              train_scales=(40, 48, 56),
+                              crop_resize_choices=(56, 64),
+                              crop_range=(32, 64))))
+    monkeypatch.setattr(factory_mod, "DEFAULT_BUCKETS",
+                        ((56, 80), (80, 56), (80, 80)))
+
+    out = str(tmp_path / "vis")
+    common = ["--data-root", tiny_dataset, "--output-dir", out,
+              "--num-classes", "117", "--dino", "false",
+              "--generate-feature", "false", "--max-gt-pairs", "4",
+              "--index", "0", "--action-score-thresh", "0.0"]
+    inf.main(common)
+    assert os.path.exists(os.path.join(out, "vis_000000.png"))
+    assert os.path.exists(os.path.join(out, "vis_000000_boxes.png"))
+
+    inf.main(common + ["--action", "5"])
+    assert os.path.exists(os.path.join(out, "vis_000000_action_005.png"))
+    inf.main(common + ["--action", "5", "--failure"])
+    assert os.path.exists(
+        os.path.join(out, "vis_000000_action_005_failure.png"))
