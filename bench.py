@@ -18,8 +18,8 @@ import jax
 import numpy as np
 
 REF_A100_EVAL_IPS = 20.0
-BATCH = 16    # b8 -> 205 img/s, b16 -> 233, b32 -> 241 (diminishing; b16
-              # keeps compile + HBM headroom)
+BATCH = 16    # with the fused encoder attention: b16 -> 275 img/s,
+              # b32 -> 274 (no gain; b16 keeps compile + HBM headroom)
 
 
 def main():

@@ -21,6 +21,33 @@ def _conv(x, w, stride=1, padding=0):
         [(padding, padding), (padding, padding)], dimension_numbers=_DN)
 
 
+def conv7x7_s2_s2d(x, w):
+    """The stem 7x7/stride-2/pad-3 conv, restructured space-to-depth:
+    a 4x4/stride-1 valid conv over the four 2x2 phases of the (padded)
+    input stacked on channels. Bit-identical contraction set — each output
+    pixel sums exactly the taps 2i+dy, 2j+dx as the strided form; the
+    even/odd kernel taps land in separate phase channels (odd phases get a
+    zero 4th tap). Lifts the stem's effective input channel count 3 -> 12,
+    which quadruples MXU contraction occupancy for the single most
+    expensive conv in the network (800x1344 spatial).
+    """
+    b, c, h, wd = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (3, 5), (3, 5)))
+    xs = jnp.concatenate([xp[:, :, py::2, px::2]
+                          for py in (0, 1) for px in (0, 1)], axis=1)
+    wp = []
+    for py in (0, 1):
+        for px in (0, 1):
+            sub = w[:, :, py::2, px::2]
+            wp.append(jnp.pad(sub, ((0, 0), (0, 0),
+                                    (0, 4 - sub.shape[2]),
+                                    (0, 4 - sub.shape[3]))))
+    w2 = jnp.concatenate(wp, axis=1).astype(x.dtype)
+    out = jax.lax.conv_general_dilated(xs, w2, (1, 1), [(0, 0), (0, 0)],
+                                       dimension_numbers=_DN)
+    return out[:, :, :h // 2, :wd // 2]
+
+
 def _conv_bn(x, p, stride=1, padding=0, relu=True):
     y = _conv(x, p["w"], stride, padding)
     y = y * p["scale"].astype(x.dtype)[None, :, None, None] \
@@ -47,9 +74,25 @@ def _bottleneck(x, p, stride):
     return jax.nn.relu(out + identity)
 
 
-def resnet50_forward(params, x):
-    """x: (B, 3, H, W) -> C5 features (B, 2048, H/32, W/32)."""
-    x = _conv_bn(x, params["stem"], stride=2, padding=3)
+def resnet50_forward(params, x, stem_s2d=None):
+    """x: (B, 3, H, W) -> C5 features (B, 2048, H/32, W/32).
+
+    ``stem_s2d``: route the stem conv through the space-to-depth form
+    (conv7x7_s2_s2d). Default OFF: measured on v5e at the eval bucket the
+    whole-pipeline throughput HALVES (275 -> 144 img/s) — the four
+    stride-2 phase slices of the padded input relayout a 0.5GB tensor and
+    swamp the MXU-occupancy gain. Kept (with parity tests) as a recorded
+    dead end; the strided conv + XLA's own fusion is the fast path.
+    """
+    if stem_s2d is None:
+        stem_s2d = False
+    if stem_s2d:
+        p = params["stem"]
+        y = conv7x7_s2_s2d(x, p["w"])
+        x = jax.nn.relu(y * p["scale"].astype(x.dtype)[None, :, None, None]
+                        + p["bias"].astype(x.dtype)[None, :, None, None])
+    else:
+        x = _conv_bn(x, params["stem"], stride=2, padding=3)
     x = _max_pool_3x3_s2(x)
     for li, blocks in enumerate(params["layers"]):
         stride = 1 if li == 0 else 2

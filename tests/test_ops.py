@@ -325,3 +325,35 @@ def test_fused_attention_parity():
                                atol=2e-5, rtol=1e-5)
 
 
+
+
+def test_stem_s2d_conv_parity():
+    """Space-to-depth 7x7/s2 stem conv == the strided lax conv (exact
+    contraction set; fp32 tolerance only)."""
+    import jax
+    import jax.numpy as jnp
+    from hoigen_tpu.models.detr.resnet import conv7x7_s2_s2d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 3, 64, 96)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(8, 3, 7, 7)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    got = conv7x7_s2_s2d(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_resnet_stem_s2d_forward_parity():
+    """resnet50_forward with the s2d stem == the strided-stem forward."""
+    import jax
+    from hoigen_tpu.models.detr.resnet import (init_resnet50_params,
+                                               resnet50_forward)
+
+    rng = np.random.default_rng(1)
+    p = init_resnet50_params(jax.random.PRNGKey(0))
+    x = np.asarray(rng.normal(size=(1, 3, 64, 64)), np.float32)
+    a = np.asarray(resnet50_forward(p, x, stem_s2d=False))
+    b = np.asarray(resnet50_forward(p, x, stem_s2d=True))
+    np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
