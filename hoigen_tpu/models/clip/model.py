@@ -63,8 +63,11 @@ def mha(p, q, kv, num_heads, attn_mask=None, key_padding_mask=None,
     b, lq, e = q.shape
     lk = kv.shape[1]
     hd = e // num_heads
-    w_q, w_k, w_v = jnp.split(p["w_qkv"], 3, axis=0)     # each (E, E)
-    b_q, b_k, b_v = jnp.split(p["b_qkv"], 3, axis=0)
+    # run the projections in the activation dtype: f32 weights would
+    # silently promote a bf16 tower's activations (and every downstream
+    # matmul) to f32. No-op when the tower runs f32 (CLIP main path).
+    w_q, w_k, w_v = jnp.split(p["w_qkv"].astype(q.dtype), 3, axis=0)
+    b_q, b_k, b_v = jnp.split(p["b_qkv"].astype(q.dtype), 3, axis=0)
     k_in = kv if kv_pos is None else kv + kv_pos
     qh = (q @ w_q.T + b_q).reshape(b, lq, num_heads, hd)
     kh = (k_in @ w_k.T + b_k).reshape(b, lk, num_heads, hd)
@@ -77,7 +80,7 @@ def mha(p, q, kv, num_heads, attn_mask=None, key_padding_mask=None,
         scores = jnp.where(key_padding_mask[:, None, None, :], -1e9, scores)
     attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(b, lq, e)
-    return out @ p["w_out"].T + p["b_out"]
+    return out @ p["w_out"].astype(q.dtype).T + p["b_out"].astype(q.dtype)
 
 
 def decoder_layer(p, tgt, memory, num_heads, key_padding_mask=None,

@@ -55,8 +55,11 @@ def sine_position_embedding(mask, num_pos_feats=128, temperature=10000.0,
 
 
 def _ffn(p, x):
-    h = jax.nn.relu(x @ p["lin1_w"].T + p["lin1_b"])
-    return h @ p["lin2_w"].T + p["lin2_b"]
+    # weights cast to the activation dtype — f32 weights would promote a
+    # bf16 tower back to f32 (see clip.model.mha)
+    h = jax.nn.relu(x @ p["lin1_w"].astype(x.dtype).T
+                    + p["lin1_b"].astype(x.dtype))
+    return h @ p["lin2_w"].astype(x.dtype).T + p["lin2_b"].astype(x.dtype)
 
 
 def _mha_fused(p, q, kv, num_heads, key_padding_mask, kv_pos):
@@ -72,14 +75,16 @@ def _mha_fused(p, q, kv, num_heads, key_padding_mask, kv_pos):
     from ...ops.attention import fused_attention
     b, lq, e = q.shape
     hd = e // num_heads
-    w_q, w_k, w_v = jnp.split(p["w_qkv"], 3, axis=0)
-    b_q, b_k, b_v = jnp.split(p["b_qkv"], 3, axis=0)
-    k_in = kv if kv_pos is None else kv + kv_pos
+    dt = jnp.bfloat16
+    w_q, w_k, w_v = jnp.split(p["w_qkv"].astype(dt), 3, axis=0)
+    b_q, b_k, b_v = jnp.split(p["b_qkv"].astype(dt), 3, axis=0)
+    q = q.astype(dt)
+    kv = kv.astype(dt)
+    k_in = kv if kv_pos is None else kv + kv_pos.astype(dt)
     qh = (q @ w_q.T + b_q).reshape(b, lq, num_heads, hd).transpose(0, 2, 1, 3)
     kh = (k_in @ w_k.T + b_k).reshape(b, lq, num_heads, hd) \
         .transpose(0, 2, 1, 3)
     vh = (kv @ w_v.T + b_v).reshape(b, lq, num_heads, hd).transpose(0, 2, 1, 3)
-    qh, kh, vh = (x.astype(jnp.bfloat16) for x in (qh, kh, vh))
     bias = None if key_padding_mask is None else \
         jnp.where(key_padding_mask, -1e9, 0.0).astype(jnp.float32)
     o = fused_attention(qh, kh, vh, key_bias=bias)
@@ -117,6 +122,12 @@ def transformer_forward(params, src, mask, query_embed, pos_embed,
     memory (B, L, D)."""
     b = src.shape[0]
     memory = src
+    # keep positional/query embeddings in the tower dtype: f32 sine
+    # positions otherwise promote `src + pos` and with it every encoder/
+    # decoder matmul and activation to f32 (2x HBM traffic, ~4x matmul
+    # cost on the MXU) when the tower runs bf16
+    pos_embed = pos_embed.astype(src.dtype)
+    query_embed = query_embed.astype(src.dtype)
     fused = cfg.fused_encoder_attention and jax.default_backend() == "tpu"
     for p in params["encoder"]:
         memory = encoder_layer(p, memory, pos_embed, mask, cfg.nheads,

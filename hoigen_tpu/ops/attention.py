@@ -39,7 +39,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale, nheads):
         s = s * sm_scale + bias
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        # reciprocal-multiply: one divide per ROW instead of per element
+        # (the (Q_BLK, L) elementwise divide was measurable VPU time)
+        p = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))).astype(v.dtype)
         o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         o_ref[0, h] = o.astype(o_ref.dtype)

@@ -44,10 +44,8 @@ def main():
     batch = make_example_batch(cfg, batch_size=BATCH, detr_hw=(800, 1344))
     batch = jax.block_until_ready(jax.device_put(batch))
     opt = make_optimizer(lr_drop_step=10)(trainable)
-    base_step = make_train_step(cfg, make_optimizer(lr_drop_step=10))
-    opt_state = jax.jit(
-        lambda tr: make_optimizer(lr_drop_step=10)(tr).init(tr))(trainable)
-    del opt
+    base_step = make_train_step(cfg, opt)
+    opt_state = jax.jit(opt.init)(trainable)
 
     # chain steps through the evolving params (a real data dependency);
     # one host transfer at the end (same methodology as bench.py)
