@@ -262,6 +262,8 @@ def make_model_config(cfg: RunConfig) -> HOIModelConfig:
             use_mlp_proj=cfg.use_mlp_proj, obj_affordance=cfg.obj_affordance,
             prior_method=cfg.prior_method, vis_prompt_num=cfg.vis_prompt_num,
             use_consistloss=cfg.use_consistloss, tpt=cfg.tpt,
+            LA=cfg.LA, LA_weight=cfg.LA_weight,
+            feat_mask_type=cfg.feat_mask_type,
             use_pallas_cache=use_pallas_cache,
             global_values_mode=cfg.global_values_mode,
             proposals=ProposalConfig(

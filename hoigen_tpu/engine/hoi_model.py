@@ -125,7 +125,17 @@ def make_train_step(cfg: HOIModelConfig, optimizer):
                                  training=True, rng=rng)
             # global normalization: loss_sum and n_p are global sums under
             # pjit; equivalent to DDP grad-mean + all-reduced n_p
-            return aux["loss_sum"] / jnp.maximum(aux["n_p"], 1.0), aux
+            total = aux["loss_sum"] / jnp.maximum(aux["n_p"], 1.0)
+            if cfg.upt.LA:
+                # language-aware regularizer added post-normalization,
+                # matching the reference's loss_dict sum
+                # (upt_tip...py:1653-1658)
+                from ..models.upt import language_aware_loss
+                params = merge_params(tr, frozen["upt"])
+                total = total + language_aware_loss(
+                    params, buffers["origin_text_embeddings"],
+                    cfg.upt.LA_weight)
+            return total, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable)

@@ -63,6 +63,14 @@ class UPTConfig:
     vis_prompt_num: int = 50           # tokens for prior_method 2 (:525)
     use_consistloss: bool = False      # rejected (see __post_init__)
     tpt: bool = False                  # rejected (see __post_init__)
+    # language-aware regularizer (:1653-1658): CE between the trainable
+    # text-adapter rows and the frozen CLIP class text embeddings, added
+    # to the training loss with weight LA_weight
+    LA: bool = False
+    LA_weight: float = 0.6
+    # 0 = Dropout(0.2) on pooled ROI features during training (reference
+    # default, :1030-1036); 1 = no dropout
+    feat_mask_type: int = 0
     proposals: ProposalConfig = ProposalConfig()
     clip_resolution: int = 224
     visual_output_dim: int = 512
@@ -329,7 +337,7 @@ def interaction_loss_sum(logits, prior, labels, pair_valid,
 def upt_forward(params, buffers, detr_post, images_clip, image_sizes,
                 clip_cfg: CLIPConfig, cfg: UPTConfig,
                 dino_apply=None, targets=None, training=False, rng=None,
-                gen_sample=None, featmap_dropout_rng=None):
+                gen_sample=None):
     """One batched step.
 
     detr_post: dict from detr.postprocess evaluated at the *CLIP-stream*
@@ -378,11 +386,16 @@ def upt_forward(params, buffers, detr_post, images_clip, image_sizes,
     fmap = feat_local.transpose(0, 3, 1, 2)                 # (B, C, g, g)
     single = roi_align_mean(fmap, boxes, (7, 7), spatial_scale)
     union = roi_align_mean(fmap, bu, (7, 7), spatial_scale)
-    if featmap_dropout_rng is not None:                     # feat_mask_type 0
-        keep = jax.random.bernoulli(featmap_dropout_rng, 0.8, single.shape)
+    # feat_mask_type 0 (the reference training default): Dropout(0.2) on
+    # the pooled ROI maps, active only in training (upt...py:1030-1036);
+    # type 1 skips it. torch nn.Dropout(p=0.2) -> keep 0.8 with 1/0.8
+    # rescale.
+    if training and rng is not None and cfg.feat_mask_type == 0:
+        fm_rng = jax.random.fold_in(rng, 0x0FEA)
+        keep = jax.random.bernoulli(fm_rng, 0.8, single.shape)
         single = jnp.where(keep, single / 0.8, 0.0)
         keep_u = jax.random.bernoulli(
-            jax.random.fold_in(featmap_dropout_rng, 1), 0.8, union.shape)
+            jax.random.fold_in(fm_rng, 1), 0.8, union.shape)
         union = jnp.where(keep_u, union / 0.8, 0.0)
 
     x_idx, y_idx = pair_indices(p_cfg)

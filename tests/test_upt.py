@@ -253,3 +253,68 @@ def test_obj_affordance_and_optional_branches():
         p, buffers, det, images, sizes, TINY_CLIP, cfg, targets=targets,
         training=True))(params)
     assert bool(jnp.isfinite(loss))
+
+
+def test_language_aware_loss_oracle():
+    """LA regularizer == torch CE between normalized text-adapter rows and
+    the frozen class text embeddings (upt_tip...py:1653-1658)."""
+    import torch
+    import jax.numpy as jnp
+    from hoigen_tpu.models.upt import language_aware_loss
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(12, 16)).astype(np.float32)
+    origin = rng.normal(size=(12, 16)).astype(np.float32)
+    weight = 0.6
+    ours = float(language_aware_loss({"text_w": jnp.asarray(w)},
+                                     jnp.asarray(origin), weight))
+    tw = torch.from_numpy(w)
+    sim = (tw / tw.norm(dim=-1, keepdim=True)) @ torch.from_numpy(origin).T
+    ref = weight * torch.nn.CrossEntropyLoss()(sim, torch.arange(12))
+    assert abs(ours - float(ref)) < 1e-5
+
+
+def test_train_step_with_la_loss():
+    """LA flag adds the regularizer to the training loss and its gradient
+    reaches text_w."""
+    import jax
+    import jax.numpy as jnp
+    from hoigen_tpu.engine.hoi_model import (HOIModelConfig, init_hoi_model,
+                                             make_example_batch,
+                                             make_optimizer, make_train_step)
+    from hoigen_tpu.models.cache import random_caches
+    from hoigen_tpu.models.clip.config import CLIPConfig
+    from hoigen_tpu.models.detr import DETRConfig
+    from hoigen_tpu.models.proposals import ProposalConfig
+    from hoigen_tpu.models.upt import UPTConfig
+
+    def mkcfg(la):
+        return HOIModelConfig(
+            clip=CLIPConfig(image_resolution=32, vision_layers=2,
+                            vision_width=64, vision_patch_size=8,
+                            transformer_layers=2, transformer_width=64,
+                            adapter_layers=(0, 1)),
+            detr=DETRConfig(hidden_dim=64, nheads=2, enc_layers=1,
+                            dec_layers=1, dim_feedforward=64, num_queries=8,
+                            num_classes=81),
+            upt=UPTConfig(num_classes=24, num_shot=2, clip_resolution=32,
+                          use_dino=False, LA=la,
+                          proposals=ProposalConfig(max_instances=4),
+                          max_gt_pairs=4, generate_feature=False))
+
+    caches = random_caches(24, 2, num_objects=80)
+    losses = {}
+    for la in (False, True):
+        cfg = mkcfg(la)
+        tr, fz, bu = init_hoi_model(jax.random.PRNGKey(0), cfg, caches)
+        opt = make_optimizer()(tr)
+        step = jax.jit(make_train_step(cfg, opt))
+        batch = make_example_batch(cfg, batch_size=2, detr_hw=(64, 64))
+        tr2, _, metrics = step(tr, opt.init(tr), fz, bu, batch,
+                               jax.random.PRNGKey(1))
+        losses[la] = float(metrics["loss"])
+        if la:
+            # text_w moved (LA gradient reached it)
+            assert not np.allclose(np.asarray(tr2["text_w"]),
+                                   np.asarray(tr["text_w"]))
+    assert losses[True] != losses[False]
