@@ -47,13 +47,19 @@ def family_classnames(dataset: str, data: str, zs: bool, zs_type: str):
 
 
 def train_vae(clip_params, clip_cfg, crop_dataset, classnames, n_ctx,
-              epochs=50, batch_size=256, lr=1e-3, seed=0, log=print):
+              epochs=50, batch_size=256, lr=1e-3, seed=0, log=print,
+              ctx_init=""):
+    token_embedding = clip_params["text"]["token_embedding"]
+    if ctx_init:
+        # context initialized from the given words; n_ctx becomes the
+        # phrase's token count (PromptLearner :98-106)
+        ctx, n_ctx = G.init_prompt_ctx_from_text(ctx_init, token_embedding)
+    else:
+        ctx = G.init_prompt_ctx(jax.random.PRNGKey(seed + 2), n_ctx)
     params = {"enc": G.init_encoder_params(jax.random.PRNGKey(seed)),
               "gen": G.init_generator_params(jax.random.PRNGKey(seed + 1)),
-              "ctx": G.init_prompt_ctx(jax.random.PRNGKey(seed + 2), n_ctx)}
-    tables = G.build_prompt_tables(classnames,
-                                   clip_params["text"]["token_embedding"],
-                                   n_ctx)
+              "ctx": ctx}
+    tables = G.build_prompt_tables(classnames, token_embedding, n_ctx)
     opt = optax.adamw(lr)
     opt_state = opt.init(params)
     encode = jax.jit(lambda p, im: encode_image(p, im, clip_cfg)[0])
@@ -122,6 +128,9 @@ def main(argv=None):
                    default=False)
     p.add_argument("--zs-type", default="rare_first")
     p.add_argument("--seed", type=int, default=66)
+    p.add_argument("--ctx-init", default="",
+                   help="words to initialize the CoOp context (e.g. "
+                   "'a photo of a person'); overrides the n_ctx default")
     args = p.parse_args(argv)
 
     clip_cfg = VIT_B16
@@ -142,7 +151,8 @@ def main(argv=None):
     crops = CropDataset(args.split_json, "train", training=True,
                         seed=args.seed)
     params, _ = train_vae(clip_params, clip_cfg, crops, names, n_ctx,
-                          args.epochs, args.batch_size, args.lr, args.seed)
+                          args.epochs, args.batch_size, args.lr, args.seed,
+                          ctx_init=args.ctx_init)
     family = args.data.split("_")[0]
     out = save_family(params, os.path.join(args.ckpt_dir,
                                            args.dataset.split("_")[0]),

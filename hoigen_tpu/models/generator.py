@@ -109,6 +109,19 @@ def init_prompt_ctx(rng, n_ctx: int, dim: int = FEAT):
     return jax.random.normal(rng, (n_ctx, dim)) * 0.02
 
 
+def init_prompt_ctx_from_text(ctx_init: str, token_embedding):
+    """Context vectors initialized from the words of ``ctx_init``
+    (--CTX_INIT; PromptLearner, upt_tip...py:98-106 / main_coop_vae.py:79-88
+    where it is present but hardcoded off). Returns (ctx (n_ctx, D),
+    n_ctx) — n_ctx becomes the token count of the phrase.
+    """
+    ctx_init = ctx_init.replace("_", " ").strip()
+    toks = tokenize([ctx_init])
+    n_ctx = int(toks[0].argmax()) - 1            # tokens between SOS and EOT
+    emb = np.asarray(token_embedding)[toks[0, 1:1 + n_ctx]]
+    return jnp.asarray(emb), n_ctx
+
+
 def build_prompt_tables(classnames: Sequence[str], token_embedding,
                         n_ctx: int, context_length: int = 77,
                         class_token_position: str = "end") -> PromptTables:

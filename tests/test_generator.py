@@ -159,3 +159,21 @@ def test_synthesis_and_gen_cache(clip_setup):
     assert cache.cache_u.shape == (10, 512)
     assert cache.one_hots.shape == (10, 5)
     np.testing.assert_array_equal(cache.sample_lens, np.full(5, 2.0))
+
+
+def test_ctx_init_from_text():
+    """--CTX_INIT: context vectors equal the token embeddings of the
+    phrase and n_ctx matches its token count (PromptLearner :98-106)."""
+    import jax
+    from hoigen_tpu.models import generator as G
+    from hoigen_tpu.models.clip.tokenizer import tokenize
+
+    rng = np.random.default_rng(0)
+    vocab = 49408
+    emb = rng.normal(size=(vocab, 8)).astype(np.float32)
+    phrase = "a photo of a person"
+    ctx, n_ctx = G.init_prompt_ctx_from_text(phrase, emb)
+    toks = tokenize([phrase])
+    assert n_ctx == int(toks[0].argmax()) - 1 == 5
+    np.testing.assert_array_equal(np.asarray(ctx),
+                                  emb[toks[0, 1:1 + n_ctx]])
