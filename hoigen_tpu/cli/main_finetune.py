@@ -341,6 +341,15 @@ def main(cfg: RunConfig):
                                 zero_shot=cfg.zs, zs_type=cfg.zs_type,
                                 num_classes=cfg.num_classes,
                                 max_gt_pairs=cfg.max_gt_pairs, seed=cfg.seed)
+    if cfg.training_set_ratio < 0.9:
+        # random-subset training (main_tip_finetune.py:368-372; the
+        # reference permutes with the global np seed — we use cfg.seed)
+        perm = np.random.default_rng(cfg.seed).permutation(
+            len(train_factory.keep))
+        n = int(len(perm) * cfg.training_set_ratio)
+        train_factory.keep = [train_factory.keep[i] for i in perm[:n]]
+        print(f"[INFO] using {cfg.training_set_ratio} of the train set "
+              f"({n} images)")
     test_factory = DataFactory(cfg.dataset, cfg.partitions[1],
                                cfg.data_root, training=False,
                                max_gt_pairs=cfg.max_gt_pairs)
@@ -377,6 +386,25 @@ def main(cfg: RunConfig):
     trainable, frozen, buffers = init_hoi_model(
         rng, model_cfg, caches, clip_params=clip_params,
         detr_params=detr_params, dino_params=dino_params)
+
+    if cfg.frozen_classifier:
+        # freeze selected cache-adapter branches (--frozen_classifier,
+        # main_tip_finetune.py:964-977): 'HO' -> concatenated-pair cache,
+        # 'U' -> union cache, 'T' -> text branch (adapter_union_weight ==
+        # our text_w). Moving the leaves to the frozen tree removes them
+        # from the optimizer exactly like requires_grad=False.
+        names = []
+        if "HO" in cfg.frozen_classifier:
+            names += ["adapter_HO_w", "adapter_HO_b"]
+        if "U" in cfg.frozen_classifier:
+            names += ["adapter_U_w", "adapter_U_b"]
+        if "T" in cfg.frozen_classifier:
+            names += ["text_w"]
+        for n in names:
+            if trainable.get(n) is not None:
+                frozen["upt"][n] = trainable[n]
+                trainable[n] = None
+        print(f"[freeze] classifier branches: {names}")
 
     resume_path = None
     if cfg.resume:

@@ -76,6 +76,11 @@ class RunConfig:
     tpt: bool = False
     use_multi_hot: bool = True
     label_choice: str = "random"
+    # train on a random fraction of the training set when < 0.9
+    # (main_tip_finetune.py:368-372)
+    training_set_ratio: float = 1.0
+    # freeze cache-adapter branches, e.g. "HO+T" (main_tip...py:964-977)
+    frozen_classifier: str = ""
     use_templates: bool = False
     LA: bool = False
     LA_weight: float = 0.6

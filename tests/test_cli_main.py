@@ -146,3 +146,42 @@ def test_inference_cli(tiny_dataset, tmp_path, monkeypatch):
     inf.main(common + ["--action", "5", "--failure"])
     assert os.path.exists(
         os.path.join(out, "vis_000000_action_005_failure.png"))
+
+
+def test_frozen_classifier_and_train_ratio(tiny_dataset, tmp_path,
+                                           monkeypatch):
+    """--frozen_classifier removes the selected branches from the
+    optimizer (main_tip...py:964-977) and --training_set_ratio subsets the
+    train set (:368-372)."""
+    import functools
+    import hoigen_tpu.data.factory as factory_mod
+    import hoigen_tpu.cli.main_finetune as mf
+    from hoigen_tpu.data import DataFactory
+    from hoigen_tpu.utils.config import RunConfig
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(mf, "make_model_config", _tiny_model_config)
+    monkeypatch.setattr(
+        mf, "DataFactory",
+        functools.partial(DataFactory, clip_resolution=32,
+                          transform_kwargs=dict(
+                              eval_min_side=48, max_side=80,
+                              train_scales=(40, 48, 56),
+                              crop_resize_choices=(56, 64),
+                              crop_range=(32, 64))))
+    monkeypatch.setattr(factory_mod, "DEFAULT_BUCKETS",
+                        ((56, 80), (80, 56), (80, 80)))
+
+    out = str(tmp_path / "run_fc")
+    trainer = mf.main(RunConfig(
+        data_root=tiny_dataset, output_dir=out, batch_size=2, num_workers=0,
+        num_classes=117, dino=False, generate_feature=False, max_gt_pairs=4,
+        devices=1, print_interval=1, epochs=1, seed=3,
+        frozen_classifier="U+T", training_set_ratio=0.8))
+    # frozen branches are gone from the trainable tree (no grads/updates)
+    assert trainer.trainable["adapter_U_w"] is None
+    assert trainer.trainable["text_w"] is None
+    # other branches stay trainable (gen_feat mode has H/O/U branches)
+    assert trainer.trainable["adapter_H_w"] is not None
+    # 5 * 0.8 = 4 images seen per epoch -> 2 steps of batch 2
+    assert trainer.iteration == 2
