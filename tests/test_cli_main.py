@@ -185,3 +185,43 @@ def test_frozen_classifier_and_train_ratio(tiny_dataset, tmp_path,
     assert trainer.trainable["adapter_H_w"] is not None
     # 5 * 0.8 = 4 images seen per epoch -> 2 steps of batch 2
     assert trainer.iteration == 2
+
+
+def test_train_detr_cli(tiny_dataset, tmp_path, monkeypatch):
+    """Drive cli.train_detr end to end (tiny transformer dims, full R50
+    stem) with aux-layer losses and the coefficient/schedule flags."""
+    import functools
+    import hoigen_tpu.cli.train_detr as td
+    import hoigen_tpu.data.factory as factory_mod
+    from hoigen_tpu.data import DataFactory
+    from hoigen_tpu.models.detr import DETRConfig
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        td, "DETRConfig",
+        functools.partial(DETRConfig, hidden_dim=64, nheads=2, enc_layers=1,
+                          dec_layers=2, dim_feedforward=64, num_queries=8))
+    monkeypatch.setattr(
+        td, "DataFactory",
+        functools.partial(DataFactory, clip_resolution=32,
+                          transform_kwargs=dict(
+                              eval_min_side=48, max_side=80,
+                              train_scales=(40, 48, 56),
+                              crop_resize_choices=(56, 64),
+                              crop_range=(32, 64))))
+    monkeypatch.setattr(factory_mod, "DEFAULT_BUCKETS",
+                        ((56, 80), (80, 56), (80, 80)))
+
+    out = str(tmp_path / "detr_out")
+    td.main(["--data-root", tiny_dataset, "--epochs", "1",
+             "--batch-size", "2", "--max-gt", "4", "--output-dir", out,
+             "--set-cost-class", "2.0", "--eos-coef", "0.2",
+             "--lr-drop", "100"])
+    from hoigen_tpu.engine.checkpoint import latest_checkpoint
+    assert latest_checkpoint(out) is not None
+
+    # --no-aux-loss path (single-layer matching) also runs
+    td.main(["--data-root", tiny_dataset, "--epochs", "1",
+             "--batch-size", "2", "--max-gt", "4",
+             "--output-dir", out + "2", "--no-aux-loss"])
+    assert latest_checkpoint(out + "2") is not None
