@@ -138,3 +138,39 @@ def test_training_reduces_loss_tiny_flagship():
         losses.append(float(metrics["loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0], losses
+
+
+def test_tp_cache_equivalence_2x4():
+    """Tensor-sharding the cache matmuls over a 'model' axis (2 data x 4
+    model mesh) produces the same training loss as pure DP on the same 8
+    virtual devices — GSPMD inserts the contraction psum from the sharding
+    annotations alone (parallel.shard_cache_rows)."""
+    import jax
+    sys = __import__("sys")
+    sys.path.insert(0, ".")
+    import __graft_entry__ as ge
+    from hoigen_tpu.engine.hoi_model import make_example_batch, \
+        make_optimizer, make_train_step
+    from hoigen_tpu.parallel import make_mesh, replicate, shard_batch, \
+        shard_cache_rows
+
+    cfg, trainable, frozen, buffers, detr_hw = ge._flagship(tiny=True)
+    opt = make_optimizer(lr_drop_step=10)(trainable)
+    step = make_train_step(cfg, opt)
+    batch = make_example_batch(cfg, batch_size=8, detr_hw=detr_hw)
+
+    losses = {}
+    for name, (nd, nm) in {"dp": (8, 1), "tp": (2, 4)}.items():
+        mesh = make_mesh(n_data=nd, n_model=nm)
+        with mesh:
+            rep = replicate(mesh)
+            tr = shard_cache_rows(mesh, trainable)
+            bu = shard_cache_rows(mesh, buffers)
+            fz = jax.device_put(frozen, rep)
+            os_ = jax.device_put(opt.init(trainable), rep)
+            sharded = shard_batch(mesh, batch)
+            _, _, metrics = jax.jit(step)(tr, os_, fz, bu, sharded,
+                                          jax.random.PRNGKey(0))
+            losses[name] = float(metrics["loss"])
+    assert np.isfinite(losses["dp"])
+    assert abs(losses["dp"] - losses["tp"]) < 1e-4, losses
