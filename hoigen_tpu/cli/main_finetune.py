@@ -406,6 +406,34 @@ def main(cfg: RunConfig):
                 trainable[n] = None
         print(f"[freeze] classifier branches: {names}")
 
+    if cfg.resume and cfg.resume.endswith((".pt", ".pth")) \
+            and os.path.isfile(cfg.resume):
+        # a reference torch checkpoint: import towers + UPT head through
+        # the converters (models/convert_upt.py; golden-parity-certified
+        # by tests/test_full_model_parity.py)
+        from ..engine.partition import merge_params, split_params, \
+            trainable_predicate
+        from ..models.convert_upt import load_reference_checkpoint
+        clip_base_sd = None
+        if cfg.clip_model_path and os.path.exists(cfg.clip_model_path):
+            import torch
+            obj = torch.load(cfg.clip_model_path, map_location="cpu",
+                             weights_only=False)
+            clip_base_sd = (obj.state_dict()
+                            if hasattr(obj, "state_dict") else obj)
+        params = merge_params(trainable, frozen["upt"])
+        params, buffers, detr_p, dino_p = load_reference_checkpoint(
+            cfg.resume, params, buffers, pair.counts, cfg.num_shot,
+            cfg.cache_model, clip_base_sd=clip_base_sd,
+            adapter_pos=cfg.adapter_pos,
+            adapter_num_layers=cfg.adapter_num_layers)
+        trainable, frozen_clip = split_params(params, trainable_predicate)
+        frozen = {"upt": frozen_clip,
+                  "detr": detr_p if detr_p is not None else frozen["detr"],
+                  "dino": dino_p if dino_p is not None else frozen["dino"]}
+        print(f"[load] imported reference torch checkpoint {cfg.resume}")
+        cfg.resume = ""           # the Orbax resume path below is bypassed
+
     resume_path = None
     if cfg.resume:
         base = os.path.basename(os.path.normpath(cfg.resume))

@@ -225,3 +225,53 @@ def test_train_detr_cli(tiny_dataset, tmp_path, monkeypatch):
              "--batch-size", "2", "--max-gt", "4",
              "--output-dir", out + "2", "--no-aux-loss"])
     assert latest_checkpoint(out + "2") is not None
+
+
+def test_eval_with_reference_torch_checkpoint(tiny_dataset, tmp_path,
+                                              monkeypatch, capsys):
+    """--resume <file>.pt imports a reference torch checkpoint through
+    models.convert_upt and evaluates with it."""
+    import functools
+    import torch
+    import hoigen_tpu.data.factory as factory_mod
+    import hoigen_tpu.cli.main_finetune as mf
+    from hoigen_tpu.data import DataFactory
+    from hoigen_tpu.utils.config import RunConfig
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(mf, "make_model_config", _tiny_model_config)
+    monkeypatch.setattr(
+        mf, "DataFactory",
+        functools.partial(DataFactory, clip_resolution=32,
+                          transform_kwargs=dict(
+                              eval_min_side=48, max_side=80,
+                              train_scales=(40, 48, 56),
+                              crop_resize_choices=(56, 64),
+                              crop_range=(32, 64))))
+    monkeypatch.setattr(factory_mod, "DEFAULT_BUCKETS",
+                        ((56, 80), (80, 56), (80, 80)))
+
+    # head-only reference checkpoint at the tiny run's shapes (random
+    # pair cache -> full counts: 117 classes x 2 shots)
+    rng = np.random.default_rng(5)
+    R, C, D = 117 * 2, 117, 512
+    sd = {}
+    for fam in "HOU":
+        sd[f"gen_adapter_{fam}_weight"] = torch.from_numpy(
+            rng.normal(size=(R, D)).astype(np.float32))
+        sd[f"gen_adapter_{fam}_bias"] = torch.from_numpy(
+            rng.normal(size=(R,)).astype(np.float32))
+        sd[f"gen_logit_scale_{fam}"] = torch.tensor(2.0)
+    sd["adapter_union_weight"] = torch.from_numpy(
+        rng.normal(size=(C, D)).astype(np.float32))
+    sd["logit_scale_text"] = torch.tensor(1.0)
+    ckpt = str(tmp_path / "ref_upt.pt")
+    torch.save({"model_state_dict": sd, "epoch": 3}, ckpt)
+
+    out = str(tmp_path / "run_refckpt")
+    result = mf.main(RunConfig(
+        data_root=tiny_dataset, output_dir=out, batch_size=2, num_workers=0,
+        num_classes=117, dino=False, generate_feature=False, max_gt_pairs=4,
+        devices=1, epochs=1, seed=3, eval=True, resume=ckpt))
+    assert "mAP" in result and np.isfinite(result["mAP"])
+    assert "imported reference torch checkpoint" in capsys.readouterr().out

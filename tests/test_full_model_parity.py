@@ -184,15 +184,10 @@ class _DinoStub(torch.nn.Module):
 
 
 def _pad_rows(ref, counts, num_shot=NUM_SHOT):
-    """Scatter ragged per-class reference rows into the padded layout."""
-    ref = np.asarray(ref)
-    out = np.zeros((len(counts) * num_shot, ref.shape[1]), np.float32)
-    lo = 0
-    for c, n in enumerate(counts):
-        out[c * num_shot:c * num_shot + n] = ref[lo:lo + n]
-        lo += n
-    assert lo == len(ref)
-    return out
+    """Scatter ragged per-class reference rows into the padded layout
+    (production implementation: models.convert_upt.pad_ragged_rows)."""
+    from hoigen_tpu.models.convert_upt import pad_ragged_rows
+    return pad_ragged_rows(ref, counts, num_shot)
 
 
 def _build_ref(tmp_path, cache_model, generate_feature, evaluate):
@@ -307,44 +302,11 @@ def _build_mine(ref_model, extras, cache_model):
                     proposals=ProposalConfig(max_instances=8))
     params, buffers = init_upt_params(jax.random.PRNGKey(0), cfg, caches,
                                       clip_params)
-    # transplant every UPT-head weight from the reference
-    pd = []
-    for i in range(3):
-        pd.append({"w": jnp.asarray(sd[f"priors_downproj.layers.{i}.weight"]),
-                   "b": jnp.asarray(sd[f"priors_downproj.layers.{i}.bias"])})
-    params["priors_downproj"] = pd
-    params["text_w"] = jnp.asarray(sd["adapter_union_weight"])
-    params["logit_scale_T"] = jnp.asarray(sd["logit_scale_text"])
-    if cache_model == "cache_feat":
-        params["adapter_HO_w"] = jnp.asarray(
-            _pad_rows(sd["adapter_HO_weight"], counts))
-        params["adapter_HO_b"] = jnp.asarray(
-            _pad_rows(sd["adapter_HO_bias"][:, None], counts)[:, 0])
-        params["adapter_U_w"] = jnp.asarray(
-            _pad_rows(sd["adapter_U_weight"], counts))
-        params["adapter_U_b"] = jnp.asarray(
-            _pad_rows(sd["adapter_U_bias"][:, None], counts)[:, 0])
-        params["logit_scale_HO"] = jnp.asarray(sd["logit_scale_HO"])
-        params["logit_scale_U"] = jnp.asarray(sd["logit_scale_U"])
-    else:
-        for fam in "HOU":
-            params[f"adapter_{fam}_w"] = jnp.asarray(
-                _pad_rows(sd[f"gen_adapter_{fam}_weight"], counts))
-            params[f"adapter_{fam}_b"] = jnp.asarray(
-                _pad_rows(sd[f"gen_adapter_{fam}_bias"][:, None],
-                          counts)[:, 0])
-            params[f"logit_scale_{fam}"] = jnp.asarray(
-                sd[f"gen_logit_scale_{fam}"])
-    params["global_cache"] = jnp.asarray(
-        _pad_rows(sd["global_cache"].T, counts).T)
-    params["global_cache_bias"] = jnp.asarray(
-        _pad_rows(sd["global_cache_bias"][:, None], counts)[:, 0])
-    params["clip_cache_logit"] = jnp.asarray(sd["clip_cache_logit"])
-    params["dino_cache"] = jnp.asarray(
-        _pad_rows(sd["dino_cache"].T, counts).T)
-    params["dino_cache_bias"] = jnp.asarray(
-        _pad_rows(sd["dino_cache_bias"][:, None], counts)[:, 0])
-    params["dino_cache_logit"] = jnp.asarray(sd["dino_cache_logit"])
+    # transplant every UPT-head weight through the PRODUCTION importer —
+    # this parity suite certifies models.convert_upt for real checkpoints
+    from hoigen_tpu.models.convert_upt import reference_head_to_params
+    reference_head_to_params(sd, counts, NUM_SHOT, cache_model, params,
+                             buffers=buffers)
     return cfg, clip_cfg, params, buffers, extras["dino_w"]
 
 
@@ -456,3 +418,61 @@ def test_train_loss_parity(tmp_path):
                           images_clip, targets=targets, training=True)
     assert float(aux["n_p"]) > 0, "association produced no positives"
     np.testing.assert_allclose(float(loss), ref_loss, rtol=2e-4)
+
+
+def test_load_reference_checkpoint_head_only(tmp_path):
+    """models.convert_upt.load_reference_checkpoint: a head-only engine
+    checkpoint (.pt with model_state_dict) lands every tensor in the right
+    params/buffers slot through the ragged->padded scatter."""
+    import torch
+    from hoigen_tpu.models.cache import random_caches
+    from hoigen_tpu.models.convert_upt import load_reference_checkpoint
+    from hoigen_tpu.models.upt import UPTConfig, init_upt_params
+    from hoigen_tpu.models.clip.config import CLIPConfig
+    from hoigen_tpu.models.clip.model import init_clip_params
+
+    C, S, D = 12, 2, 512
+    cfg = UPTConfig(num_classes=C, num_shot=S, visual_output_dim=D,
+                    cache_model="gen_feat", use_dino=True,
+                    use_clip_global=True)
+    clip_cfg = CLIPConfig(image_resolution=32, vision_layers=1,
+                          vision_width=64, vision_patch_size=8,
+                          transformer_layers=1, transformer_width=64)
+    caches = random_caches(C, S, num_objects=5)
+    clip_params = init_clip_params(jax.random.PRNGKey(0), clip_cfg)
+    params, buffers = init_upt_params(jax.random.PRNGKey(1), cfg, caches,
+                                      clip_params)
+
+    # ragged cache: class c holds c % S + 1 rows
+    counts = np.array([c % S + 1 for c in range(C)])
+    R = int(counts.sum())
+    rng = np.random.default_rng(3)
+    sd = {"gen_adapter_H_weight": torch.from_numpy(
+              rng.normal(size=(R, D)).astype(np.float32)),
+          "gen_adapter_H_bias": torch.from_numpy(
+              rng.normal(size=(R,)).astype(np.float32)),
+          "gen_logit_scale_H": torch.tensor(1.5),
+          "gen_label_U": torch.from_numpy(
+              (rng.random((R, C)) < 0.3).astype(np.float32)),
+          "adapter_union_weight": torch.from_numpy(
+              rng.normal(size=(C, D)).astype(np.float32))}
+    path = str(tmp_path / "ref.pt")
+    torch.save({"model_state_dict": sd, "epoch": 7}, path)
+
+    params, buffers, detr_p, dino_p = load_reference_checkpoint(
+        path, params, buffers, counts, S, "gen_feat")
+    assert detr_p is None and dino_p is None
+    # class 0 has 1 row -> padded row 1 must be zero
+    w = np.asarray(params["adapter_H_w"])
+    assert w.shape == (C * S, D)
+    np.testing.assert_array_equal(
+        w[1], np.zeros(D))
+    np.testing.assert_allclose(w[0], sd["gen_adapter_H_weight"][0].numpy())
+    assert float(params["logit_scale_H"]) == 1.5
+    np.testing.assert_allclose(np.asarray(params["text_w"]),
+                               sd["adapter_union_weight"].numpy())
+    # buffers one_hots_U rewritten with padded labels + recomputed lens
+    oh = np.asarray(buffers["one_hots_U"])
+    assert oh.shape == (C * S, C)
+    np.testing.assert_allclose(np.asarray(buffers["sample_lens_U"]),
+                               np.maximum(oh.sum(0), 1e-8))
