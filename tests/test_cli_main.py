@@ -275,3 +275,39 @@ def test_eval_with_reference_torch_checkpoint(tiny_dataset, tmp_path,
         devices=1, epochs=1, seed=3, eval=True, resume=ckpt))
     assert "mAP" in result and np.isfinite(result["mAP"])
     assert "imported reference torch checkpoint" in capsys.readouterr().out
+
+
+def test_zero_shot_train_eval(tiny_dataset, tmp_path, monkeypatch, capsys):
+    """Zero-shot mode end to end: --zs filters unseen-HOI training pairs
+    (DataFactory zs path), eval reports seen/unseen mAP
+    (main_tip_finetune.py:927-948)."""
+    import functools
+    import hoigen_tpu.data.factory as factory_mod
+    import hoigen_tpu.cli.main_finetune as mf
+    from hoigen_tpu.data import DataFactory
+    from hoigen_tpu.utils.config import RunConfig
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(mf, "make_model_config", _tiny_model_config)
+    monkeypatch.setattr(
+        mf, "DataFactory",
+        functools.partial(DataFactory, clip_resolution=32,
+                          transform_kwargs=dict(
+                              eval_min_side=48, max_side=80,
+                              train_scales=(40, 48, 56),
+                              crop_resize_choices=(56, 64),
+                              crop_range=(32, 64))))
+    monkeypatch.setattr(factory_mod, "DEFAULT_BUCKETS",
+                        ((56, 80), (80, 56), (80, 80)))
+
+    out = str(tmp_path / "run_zs")
+    common = dict(data_root=tiny_dataset, output_dir=out, batch_size=2,
+                  num_workers=0, num_classes=600, dino=False,
+                  generate_feature=False, max_gt_pairs=4, devices=1,
+                  epochs=1, seed=3, zs=True, zs_type="rare_first")
+    trainer = mf.main(RunConfig(**common))
+    assert trainer.epoch == 1
+
+    result = mf.main(RunConfig(**{**common, "eval": True, "resume": out}))
+    assert {"mAP", "mAP_seen", "mAP_unseen"} <= set(result)
+    assert "zero-shot(rare_first)" in capsys.readouterr().out
