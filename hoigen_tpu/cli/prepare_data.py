@@ -49,7 +49,8 @@ def _load_clip(path):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("task", choices=["crops", "pair-embeddings",
-                                    "gt-features", "global-caches"])
+                                    "gt-features", "global-caches",
+                                    "vcoco-annotations"])
     p.add_argument("--dataset", default="hicodet")
     p.add_argument("--partition", default="train2015")
     p.add_argument("--data-root", default="./datasets")
@@ -66,7 +67,20 @@ def main(argv=None):
     p.add_argument("--zs-type", default="rare_first")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pickle", default="",
+                   help="vcoco-annotations: the official repo's cached "
+                   "vcoco_all pickle")
+    p.add_argument("--vsrl-partition", type=int, default=0,
+                   help="vcoco-annotations: 0 = train/val/trainval "
+                   "(COCO train2014 filenames), 1 = test (val2014)")
     args = p.parse_args(argv)
+
+    if args.task == "vcoco-annotations":
+        from ..data.vcoco import generate_vcoco_annotations
+        out = generate_vcoco_annotations(args.pickle, args.vsrl_partition,
+                                         out=args.out or None)
+        print(f"vcoco annotations -> {out}")
+        return
 
     if args.task != "gt-features":   # gt-features only needs the split json
         factory = DataFactory(args.dataset, args.partition, args.data_root,

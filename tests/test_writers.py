@@ -146,3 +146,43 @@ def test_hico_mat_writer(tmp_path):
                 assert cell.shape[1] == 9
                 found = True
     assert found
+
+
+def test_generate_vcoco_annotations_roundtrip(tmp_path):
+    """vcoco-annotations producer: a synthetic vsrl_all pickle converts to
+    an instances json our VCOCODataset reads (reference generator:
+    vcoco/utilities/generate_annotations.py:76-140)."""
+    import pickle
+    from hoigen_tpu.data.vcoco import (VCOCODataset, VSRL_INTERACTIONS,
+                                       generate_vcoco_annotations)
+
+    # two images; 'hold obj' on both, second also 'point' (dropped) and a
+    # NaN object box (skipped)
+    hold = {
+        "action_name": "hold", "role_name": ["agent", "obj"],
+        "label": np.array([1, 1, 0]),
+        "image_id": np.array([11, 22, 22]),
+        "role_bbox": np.array([[0, 0, 10, 10, 2, 2, 8, 8],
+                               [1, 1, 9, 9, np.nan, np.nan, np.nan, np.nan],
+                               [0, 0, 5, 5, 1, 1, 4, 4]], float),
+        "obj_category": np.array([[np.nan, 44], [np.nan, 44],
+                                  [np.nan, 44]], float),   # bottle (id 44)
+    }
+    point = {
+        "action_name": "point", "role_name": ["agent", "instr"],
+        "label": np.array([1]), "image_id": np.array([22]),
+        "role_bbox": np.array([[0, 0, 3, 3, 0, 0, 1, 1]], float),
+        "obj_category": np.array([[np.nan, 44]], float),
+    }
+    pkl = str(tmp_path / "vcoco_train.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump([hold, point], f)
+
+    out = generate_vcoco_annotations(pkl, partition=0)
+    ds = VCOCODataset(out)
+    assert len(ds) == 1                      # image 22's pair was NaN-void
+    t = ds.target(0)
+    assert t["actions"] == [VSRL_INTERACTIONS.index("hold obj")]
+    # COCO id 44 (bottle) -> contiguous index 40 in the background-first list
+    assert ds.objects[t["objects"][0]] == "bottle"
+    assert ds.filename(0).startswith("COCO_train2014_")
