@@ -520,7 +520,8 @@ def main(cfg: RunConfig):
                 model_cfg.upt.proposals,
                 HICO.object_n_verb_to_interaction,
                 zs_unseen=HICO.unseen_index[cfg.zs_type] if cfg.zs else None,
-                gather_fn=process_allgather_ragged if multi else None)
+                gather_fn=process_allgather_ragged if multi else None,
+                ap_workers=cfg.num_workers)
             if jax.process_index() == 0:
                 print(f"The mAP is {result['mAP'] * 100:.2f}, "
                       f"rare: {result['mAP_rare'] * 100:.2f}, "

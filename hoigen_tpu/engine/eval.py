@@ -40,7 +40,8 @@ def _recover_gt(boxes_cxcywh, size_hw):
 
 def evaluate_hico(run_batches, dataset, num_classes: int,
                   proposal_cfg, object_n_verb_to_interaction=None,
-                  zs_unseen: Optional[list] = None, gather_fn=None):
+                  zs_unseen: Optional[list] = None, gather_fn=None,
+                  ap_workers: int = 0):
     """run_batches: iterable of (host_outputs, batch) where host_outputs has
     detection_scores (B, P, C), boxes (B, S, 4), objects (B, P) and batch
     carries GT (normalized cxcywh in the CLIP frame) + clip_sizes + indices.
@@ -102,7 +103,7 @@ def evaluate_hico(run_batches, dataset, num_classes: int,
     if gather_fn is not None:
         cat = gather_fn(cat)
     meter.append(cat["scores"], cat["inter"], cat["labels"])
-    ap = meter.eval()
+    ap = meter.eval(num_workers=ap_workers)
     num_gt = np.asarray(num_gt, np.float64)
     rare = num_gt < 10
 

@@ -134,24 +134,38 @@ class DetectionAPMeter:
             self._scores[c].append(scores[sel])
             self._labels[c].append(labels[sel])
 
-    def eval(self) -> np.ndarray:
+    def _eval_one(self, c):
         alg = _ALGORITHMS[self.algorithm]
+        scores = np.concatenate(self._scores[c])
+        labels = np.concatenate(self._labels[c])
+        ngt = None if self.num_gt is None else self.num_gt[c]
+        if ngt is not None and labels.sum() > ngt:
+            raise AssertionError(
+                f"Class {c}: true positives ({labels.sum()}) exceed "
+                f"ground truth count ({ngt})")
+        if len(scores) == 0:
+            return 0.0, 0.0
+        prec, rec = _pr_curve(scores, labels, ngt)
+        return alg(prec, rec), (rec[-1] if len(rec) else 0.0)
+
+    def eval(self, num_workers: int = 0) -> np.ndarray:
+        """Per-class AP. ``num_workers`` > 1 fans the classes over a
+        process pool (the reference spawns a Pool for the 600-class
+        sort/cumsum, pocket/pocket/utils/meters.py:535-541); 0/1 stays
+        in-process."""
         ap = np.zeros(self.num_cls, np.float64)
-        for c in range(self.num_cls):
-            if not self._scores[c]:
-                continue
-            scores = np.concatenate(self._scores[c])
-            labels = np.concatenate(self._labels[c])
-            ngt = None if self.num_gt is None else self.num_gt[c]
-            if ngt is not None and labels.sum() > ngt:
-                raise AssertionError(
-                    f"Class {c}: true positives ({labels.sum()}) exceed "
-                    f"ground truth count ({ngt})")
-            if len(scores) == 0:
-                continue
-            prec, rec = _pr_curve(scores, labels, ngt)
-            ap[c] = alg(prec, rec)
-            self.max_rec[c] = rec[-1] if len(rec) else 0.0
+        todo = [c for c in range(self.num_cls) if self._scores[c]]
+        if num_workers and num_workers > 1 and len(todo) > 1:
+            from concurrent.futures import ProcessPoolExecutor
+            with ProcessPoolExecutor(max_workers=num_workers) as pool:
+                for c, (a, mr) in zip(todo, pool.map(
+                        self._eval_one, todo,
+                        chunksize=max(1, len(todo) // num_workers))):
+                    ap[c] = a
+                    self.max_rec[c] = mr
+            return ap
+        for c in todo:
+            ap[c], self.max_rec[c] = self._eval_one(c)
         return ap
 
     def reset(self) -> None:

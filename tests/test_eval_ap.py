@@ -180,3 +180,19 @@ def test_classification_ap_parity(ref_meters):
         ref = np.asarray([float(h((prec[:, c], rec[:, c])))
                           for c in range(k)])
         np.testing.assert_allclose(ours, ref, atol=1e-10)
+
+
+def test_detection_ap_meter_process_pool():
+    """eval(num_workers>1) fans classes over a process pool and matches
+    the in-process result (reference: meters.py:535-541 spawn Pool)."""
+    from hoigen_tpu.eval import DetectionAPMeter
+    rng = np.random.default_rng(0)
+    n = 400
+    scores = rng.random(n)
+    classes = rng.integers(0, 6, n)
+    labels = (rng.random(n) < 0.4).astype(np.float64)
+    m1 = DetectionAPMeter(6, algorithm="11P")
+    m2 = DetectionAPMeter(6, algorithm="11P")
+    for m in (m1, m2):
+        m.append(scores, classes, labels)
+    np.testing.assert_allclose(m2.eval(num_workers=2), m1.eval())
