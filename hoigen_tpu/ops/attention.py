@@ -57,8 +57,9 @@ def _xla_attention(q, k, v, key_bias, sm_scale):
 
 def fused_attention(q, k, v, key_bias=None, sm_scale=None,
                     use_pallas=None, interpret=False, q_blk=384):
-    """q, k, v: (B, H, L, D); key_bias: optional (B, L) additive f32 (use
-    -1e9 for padded keys). Returns (B, H, L, D) in q.dtype.
+    """q: (B, H, Lq, D); k, v: (B, H, Lk, D) (self- or cross-attention);
+    key_bias: optional (B, Lk) additive f32 (use -1e9 for padded keys).
+    Returns (B, H, Lq, D) in q.dtype.
 
     Inference-only (no VJP defined): the HOI pipeline runs DETR frozen
     under stop_gradient; the offline DETR finetune keeps the XLA path.
@@ -70,22 +71,25 @@ def fused_attention(q, k, v, key_bias=None, sm_scale=None,
     if not (use_pallas or interpret):
         return _xla_attention(q, k, v, key_bias, sm_scale)
 
-    b, h, l, d = q.shape
-    q_blk = min(q_blk, -(-l // 128) * 128)
-    lp = -(-l // q_blk) * q_blk                      # pad to block multiple
-    pad = [(0, 0), (0, 0), (0, lp - l), (0, 0)]
-    qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
-    bias = jnp.zeros((b, l), jnp.float32) if key_bias is None \
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    q_blk = min(q_blk, -(-lq // 128) * 128)
+    lqp = -(-lq // q_blk) * q_blk                    # pad to block multiple
+    lkp = -(-lk // 128) * 128
+    qp = jnp.pad(q, [(0, 0), (0, 0), (0, lqp - lq), (0, 0)])
+    kp, vp = (jnp.pad(x, [(0, 0), (0, 0), (0, lkp - lk), (0, 0)])
+              for x in (k, v))
+    bias = jnp.zeros((b, lk), jnp.float32) if key_bias is None \
         else key_bias.astype(jnp.float32)
-    # (B, 1, Lp): a singleton middle axis keeps the block tile-legal
-    bias = jnp.pad(bias, [(0, 0), (0, lp - l)],
+    # (B, 1, Lkp): a singleton middle axis keeps the block tile-legal
+    bias = jnp.pad(bias, [(0, 0), (0, lkp - lk)],
                    constant_values=-1e9)[:, None, :]
 
-    grid = (b, lp // q_blk)
+    grid = (b, lqp // q_blk)
     # K/V blocks span all heads of one batch element: contiguous DMA, and
     # the index map is j-independent so the block stays in VMEM across the
     # q-block sweep.
-    kv_spec = pl.BlockSpec((1, h, lp, d), lambda i, j: (i, 0, 0, 0),
+    kv_spec = pl.BlockSpec((1, h, lkp, d), lambda i, j: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, sm_scale=sm_scale, nheads=h),
@@ -95,13 +99,13 @@ def fused_attention(q, k, v, key_bias=None, sm_scale=None,
                          lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
             kv_spec, kv_spec,
-            pl.BlockSpec((1, 1, lp), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, lkp), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, q_blk, d),
                                lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, lp, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, lqp, d), q.dtype),
         interpret=interpret,
     )(qp, kp, vp, bias)
-    return out[:, :, :l, :]
+    return out[:, :, :lq, :]

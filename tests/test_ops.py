@@ -323,6 +323,12 @@ def test_fused_attention_parity():
     got = fused_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+    # cross-attention: Lq != Lk (decoder queries over encoder memory)
+    qc = jnp.asarray(rng.normal(size=(b, h, 36, d)).astype(np.float32))
+    ref = _xla_attention(qc, k, v, bias, 1.0 / np.sqrt(d))
+    got = fused_attention(qc, k, v, key_bias=bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
 
 
 
