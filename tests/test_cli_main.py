@@ -311,3 +311,35 @@ def test_zero_shot_train_eval(tiny_dataset, tmp_path, monkeypatch, capsys):
     result = mf.main(RunConfig(**{**common, "eval": True, "resume": out}))
     assert {"mAP", "mAP_seen", "mAP_unseen"} <= set(result)
     assert "zero-shot(rare_first)" in capsys.readouterr().out
+
+
+def test_cache_hico_cli(tiny_dataset, tmp_path, monkeypatch):
+    """--cache true drives the official .mat dump through main()
+    (cache_hico, utils_tip...py:413-492)."""
+    import functools
+    import hoigen_tpu.data.factory as factory_mod
+    import hoigen_tpu.cli.main_finetune as mf
+    from hoigen_tpu.data import DataFactory
+    from hoigen_tpu.utils.config import RunConfig
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(mf, "make_model_config", _tiny_model_config)
+    monkeypatch.setattr(
+        mf, "DataFactory",
+        functools.partial(DataFactory, clip_resolution=32,
+                          transform_kwargs=dict(
+                              eval_min_side=48, max_side=80,
+                              train_scales=(40, 48, 56),
+                              crop_resize_choices=(56, 64),
+                              crop_range=(32, 64))))
+    monkeypatch.setattr(factory_mod, "DEFAULT_BUCKETS",
+                        ((56, 80), (80, 56), (80, 80)))
+
+    out = str(tmp_path / "cache_out")
+    mf.main(RunConfig(
+        data_root=tiny_dataset, output_dir=out, batch_size=2, num_workers=0,
+        num_classes=117, dino=False, generate_feature=False, max_gt_pairs=4,
+        devices=1, epochs=1, seed=3, cache=True))
+    mats = [f for f in os.listdir(out) if f.startswith("detections_")
+            and f.endswith(".mat")]
+    assert len(mats) == 80
