@@ -1,0 +1,102 @@
+"""Detector-output preparation and detection-level evaluation CLI.
+
+Equivalent of the reference's standalone scripts
+/root/reference/hicodet/detections/{preprocessing.py,
+generate_gt_detections.py, eval_detections.py} (and their vcoco/
+counterparts): dump per-image detection jsons from the DETR, write GT
+boxes as perfect detections, and score detection mAP.
+
+  python -m hoigen_tpu.cli.detections dump --data-root ... \\
+      --pretrained checkpoints/detr-r50-hicodet.pth --out-dir detections/
+  python -m hoigen_tpu.cli.detections gt --data-root ... --out-dir gt/
+  python -m hoigen_tpu.cli.detections eval --det-dir detections/ \\
+      --data-root ...
+"""
+import argparse
+import os
+
+import numpy as np
+
+from ..data.detections import dump_detections, eval_detections, \
+    generate_gt_detections
+from ..data.factory import DataFactory, collate_batch
+
+
+def _detr_batches(factory, params, cfg, batch_size, limit=None):
+    import jax
+
+    from ..models.detr import detr_forward, postprocess
+    from ..ops.pixels import device_normalize
+
+    @jax.jit
+    def step(p, images, mask, clip_sizes):
+        out = detr_forward(p, device_normalize(images), mask, cfg)
+        return postprocess(out["pred_logits"].astype(np.float32),
+                           out["pred_boxes"].astype(np.float32), clip_sizes)
+
+    n = len(factory) if limit is None else min(limit, len(factory))
+    for lo in range(0, n, batch_size):
+        idx = list(range(lo, min(lo + batch_size, n)))
+        batch = collate_batch([factory[i] for i in idx], 8)
+        post = step(params, batch.images, batch.image_mask,
+                    batch.clip_sizes)
+        yield jax.tree.map(np.asarray, post), batch
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("task", choices=["dump", "gt", "eval"])
+    p.add_argument("--dataset", default="hicodet")
+    p.add_argument("--partition", default="test2015")
+    p.add_argument("--data-root", default="./datasets")
+    p.add_argument("--out-dir", default="detections")
+    p.add_argument("--det-dir", default="detections")
+    p.add_argument("--pretrained", default="",
+                   help="dump: DETR torch checkpoint to convert")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--score-thresh", type=float, default=0.0)
+    p.add_argument("--min-iou", type=float, default=0.5)
+    p.add_argument("--limit", type=int, default=None)
+    args = p.parse_args(argv)
+
+    factory = DataFactory(args.dataset, args.partition, args.data_root,
+                          training=False)
+    dataset = factory.dataset
+
+    if args.task == "gt":
+        generate_gt_detections(dataset, args.out_dir)
+        print(f"GT detections -> {args.out_dir}")
+        return
+
+    if args.task == "eval":
+        ap = eval_detections(args.det_dir, dataset, min_iou=args.min_iou,
+                             limit=args.limit)
+        print(f"detection mAP: {float(ap[ap > 0].mean() if (ap > 0).any() else 0.0):.4f} "
+              f"({(ap > 0).sum()} classes with detections)")
+        return ap
+
+    # dump: run the (converted) DETR over the partition
+    import jax
+
+    from ..models.detr import DETRConfig, init_detr_params
+    cfg = DETRConfig(num_classes=81 if args.dataset == "hicodet" else 92)
+    if args.pretrained and os.path.exists(args.pretrained):
+        import torch
+
+        from ..models.detr.convert import torch_detr_state_dict_to_params
+        ckpt = torch.load(args.pretrained, map_location="cpu",
+                          weights_only=False)
+        sd = ckpt.get("model", ckpt.get("model_state_dict", ckpt))
+        params, cfg = torch_detr_state_dict_to_params(sd)
+        print(f"[load] {args.pretrained}")
+    else:
+        params = init_detr_params(jax.random.PRNGKey(0), cfg)
+        print("[warn] no --pretrained; random DETR")
+    dump_detections(
+        _detr_batches(factory, params, cfg, args.batch_size, args.limit),
+        dataset, args.out_dir, score_thresh=args.score_thresh)
+    print(f"detections -> {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -343,3 +343,42 @@ def test_cache_hico_cli(tiny_dataset, tmp_path, monkeypatch):
     mats = [f for f in os.listdir(out) if f.startswith("detections_")
             and f.endswith(".mat")]
     assert len(mats) == 80
+
+
+def test_detections_cli(tiny_dataset, tmp_path, monkeypatch):
+    """cli.detections: gt -> eval gives perfect mAP; dump (tiny random
+    DETR) writes per-image jsons (reference: hicodet/detections/*)."""
+    import functools
+    import hoigen_tpu.cli.detections as dc
+    import hoigen_tpu.data.factory as factory_mod
+    from hoigen_tpu.data import DataFactory
+    from hoigen_tpu.models.detr import DETRConfig
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        dc, "DataFactory",
+        functools.partial(DataFactory, clip_resolution=32,
+                          transform_kwargs=dict(
+                              eval_min_side=48, max_side=80,
+                              train_scales=(40, 48, 56),
+                              crop_resize_choices=(56, 64),
+                              crop_range=(32, 64))))
+    monkeypatch.setattr(factory_mod, "DEFAULT_BUCKETS",
+                        ((56, 80), (80, 56), (80, 80)))
+    # cli.detections imports DETRConfig lazily; patch at the source package
+    import hoigen_tpu.models.detr as detr_pkg
+    monkeypatch.setattr(
+        detr_pkg, "DETRConfig",
+        functools.partial(DETRConfig, hidden_dim=64, nheads=2, enc_layers=1,
+                          dec_layers=1, dim_feedforward=64, num_queries=8))
+
+    gt_dir = str(tmp_path / "gt")
+    dc.main(["gt", "--data-root", tiny_dataset, "--out-dir", gt_dir])
+    assert len(os.listdir(gt_dir)) == 5
+    ap = dc.main(["eval", "--det-dir", gt_dir, "--data-root", tiny_dataset])
+    assert float(ap[ap > 0].mean()) == 1.0     # perfect detector
+
+    det_dir = str(tmp_path / "det")
+    dc.main(["dump", "--data-root", tiny_dataset, "--out-dir", det_dir,
+             "--batch-size", "2"])
+    assert len(os.listdir(det_dir)) == 5
