@@ -73,6 +73,11 @@ def fused_attention(q, k, v, key_bias=None, sm_scale=None,
 
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    # scale the q-block down as Lk grows: the (Q_BLK, Lk) f32 score/exp
+    # transients live on the 16MB scoped-VMEM stack, and the proven budget
+    # is 384x1152 (the 800x1344 bucket); bigger buckets (e.g. 1333x1333 ->
+    # Lk 1792) OOM at q_blk 384
+    q_blk = min(q_blk, max(128, (384 * 1152 // max(lk, 1)) // 128 * 128))
     q_blk = min(q_blk, -(-lq // 128) * 128)
     lqp = -(-lq // q_blk) * q_blk                    # pad to block multiple
     lkp = -(-lk // 128) * 128
