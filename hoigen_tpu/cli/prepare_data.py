@@ -127,7 +127,8 @@ def main(argv=None):
         for lo in range(0, len(feats), 64):
             embs.append(apply_fn(np.stack(feats[lo:lo + 64])))
         embs = np.concatenate(embs)
-        embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+        embs /= np.maximum(np.linalg.norm(embs, axis=1, keepdims=True),
+                           1e-8)
         clip_keys, clip_values = build_global_cache(
             embs, np.stack(multihots), args.num_classes, args.num_shot,
             seed=args.seed)
@@ -137,7 +138,8 @@ def main(argv=None):
         dembs = np.concatenate([
             np.asarray(dfn(dino_params, jnp.asarray(np.stack(
                 feats[lo:lo + 64])))) for lo in range(0, len(feats), 64)])
-        dembs /= np.linalg.norm(dembs, axis=1, keepdims=True)
+        dembs /= np.maximum(np.linalg.norm(dembs, axis=1, keepdims=True),
+                            1e-8)
         dino_keys, dino_values = build_global_cache(
             dembs, np.stack(multihots), args.num_classes, args.num_shot,
             seed=args.seed)
