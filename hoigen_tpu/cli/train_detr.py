@@ -153,7 +153,8 @@ def main(argv=None):
 
     # fused encoder attention is inference-only (no VJP); training
     # differentiates through the encoder, so keep the XLA path
-    cfg = DETRConfig(num_classes=81, fused_encoder_attention=False)
+    cfg = DETRConfig(num_classes=81, fused_encoder_attention=False,
+                     remat_backbone=True)
     if args.pretrained and os.path.exists(args.pretrained):
         import dataclasses
         import torch
@@ -162,7 +163,8 @@ def main(argv=None):
                           weights_only=False)
         sd = ckpt.get("model", ckpt.get("model_state_dict", ckpt))
         params, cfg = torch_detr_state_dict_to_params(sd)
-        cfg = dataclasses.replace(cfg, fused_encoder_attention=False)
+        cfg = dataclasses.replace(cfg, fused_encoder_attention=False,
+                                  remat_backbone=True)
         print(f"[load] {args.pretrained}")
     else:
         params = init_detr_params(jax.random.PRNGKey(args.seed), cfg)

@@ -21,3 +21,8 @@ class DETRConfig:
     # 1.8ms/layer vs 2.7ms for XLA's fusion, after blocking over all heads
     # at once to keep DMAs contiguous (see ops/attention.py docstring).
     fused_encoder_attention: bool = True
+    # rematerialize backbone blocks in backward (jax.checkpoint) — the
+    # offline DETR finetune needs it to fit full-backbone training in HBM
+    # at the large buckets; the HOI pipeline runs the backbone frozen and
+    # leaves it off
+    remat_backbone: bool = False

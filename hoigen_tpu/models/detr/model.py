@@ -152,7 +152,8 @@ def detr_forward(params, images, image_mask, cfg: DETRConfig):
     where padded. Returns dict with pred_logits (B, Q, C+1),
     pred_boxes (B, Q, 4 cxcywh in [0,1]), hs (layers, B, Q, D), memory.
     """
-    feat = resnet50_forward(params["backbone"], images)
+    feat = resnet50_forward(params["backbone"], images,
+                            remat=cfg.remat_backbone)
     b, c, fh, fw = feat.shape
     fmask = downsample_mask(image_mask, fh, fw)
     pos = sine_position_embedding(fmask, cfg.hidden_dim // 2)

@@ -74,8 +74,13 @@ def _bottleneck(x, p, stride):
     return jax.nn.relu(out + identity)
 
 
-def resnet50_forward(params, x, stem_s2d=None):
+def resnet50_forward(params, x, stem_s2d=None, remat=False):
     """x: (B, 3, H, W) -> C5 features (B, 2048, H/32, W/32).
+
+    ``remat``: wrap every bottleneck in jax.checkpoint so the backward
+    pass recomputes block activations instead of storing them — required
+    to fit full-DETR training (the offline finetune) in HBM at the large
+    buckets; the HOI pipeline runs the backbone frozen and leaves it off.
 
     ``stem_s2d``: route the stem conv through the space-to-depth form
     (conv7x7_s2_s2d). Default OFF: measured on v5e at the eval bucket the
@@ -94,10 +99,12 @@ def resnet50_forward(params, x, stem_s2d=None):
     else:
         x = _conv_bn(x, params["stem"], stride=2, padding=3)
     x = _max_pool_3x3_s2(x)
+    block = jax.checkpoint(_bottleneck, static_argnums=(2,)) if remat \
+        else _bottleneck
     for li, blocks in enumerate(params["layers"]):
         stride = 1 if li == 0 else 2
         for bi, bp in enumerate(blocks):
-            x = _bottleneck(x, bp, stride if bi == 0 else 1)
+            x = block(x, bp, stride if bi == 0 else 1)
     return x
 
 
