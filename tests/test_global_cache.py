@@ -215,3 +215,42 @@ def test_global_values_modes():
             jax.random.PRNGKey(1),
             dataclasses.replace(cfg, global_values_mode="bogus"),
             caches, clip_p)
+
+
+def test_refresh_unseen_cache_oracle():
+    """refresh_unseen_cache == the reference refresh_unseen_verb_cache_mem
+    math (upt...py:609-633) re-run in torch on a ragged cache."""
+    import torch
+    import torch.nn.functional as F
+    from hoigen_tpu.models.cache import refresh_unseen_cache
+
+    rng = np.random.default_rng(0)
+    C, S, D = 6, 2, 8
+    counts = np.array([2, 1, 2, 2, 1, 2])
+    seen, unseen = [0, 2, 4], [1, 3, 5]
+    text = rng.normal(size=(C, D)).astype(np.float32)
+    padded = rng.normal(size=(C * S, D)).astype(np.float32)
+    # zero the padding rows like the real layout
+    for c in range(C):
+        padded[c * S + counts[c]:(c + 1) * S] = 0
+
+    got = refresh_unseen_cache(padded, counts, text, seen, unseen, S)
+
+    # torch oracle on the RAGGED layout (reference cumsum indexing)
+    ragged = np.concatenate([padded[c * S:c * S + counts[c]]
+                             for c in range(C)])
+    cm = torch.from_numpy(ragged.copy())
+    te = torch.from_numpy(text)
+    cum = torch.cumsum(torch.as_tensor(counts), -1)
+    tmp = cm[cum[torch.as_tensor(seen)] - 1]
+    for i in unseen:
+        logits = F.softmax(te[i] @ te[torch.as_tensor(seen)].T, dim=-1)
+        emb = logits @ tmp
+        lo = int(cum[i - 1]) if i > 0 else 0
+        cm[lo:int(cum[i])] = emb
+    # compare the real rows of every class
+    for c in range(C):
+        lo = int(cum[c - 1]) if c > 0 else 0
+        np.testing.assert_allclose(
+            got[c * S:c * S + counts[c]], cm[lo:int(cum[c])].numpy(),
+            atol=1e-5)

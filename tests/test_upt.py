@@ -318,3 +318,20 @@ def test_train_step_with_la_loss():
             assert not np.allclose(np.asarray(tr2["text_w"]),
                                    np.asarray(tr["text_w"]))
     assert losses[True] != losses[False]
+
+
+def test_apply_vis_tor():
+    """--vis_tor multiplies the cache logit scales at eval time
+    (main_tip_finetune.py:895-897); 1.0 is the identity."""
+    import jax.numpy as jnp
+    from hoigen_tpu.models.upt import UPTConfig, apply_vis_tor
+
+    params = {"logit_scale_HO": jnp.asarray(2.0),
+              "logit_scale_U": jnp.asarray(3.0),
+              "logit_scale_T": jnp.asarray(4.0)}
+    out = apply_vis_tor(params, UPTConfig(cache_model="cache_feat"), 1.5)
+    assert float(out["logit_scale_HO"]) == 3.0
+    assert float(out["logit_scale_U"]) == 4.5
+    assert float(out["logit_scale_T"]) == 4.0        # text scale untouched
+    same = apply_vis_tor(params, UPTConfig(cache_model="cache_feat"), 1.0)
+    assert same is params
