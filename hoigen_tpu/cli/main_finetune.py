@@ -387,25 +387,6 @@ def main(cfg: RunConfig):
         rng, model_cfg, caches, clip_params=clip_params,
         detr_params=detr_params, dino_params=dino_params)
 
-    if cfg.frozen_classifier:
-        # freeze selected cache-adapter branches (--frozen_classifier,
-        # main_tip_finetune.py:964-977): 'HO' -> concatenated-pair cache,
-        # 'U' -> union cache, 'T' -> text branch (adapter_union_weight ==
-        # our text_w). Moving the leaves to the frozen tree removes them
-        # from the optimizer exactly like requires_grad=False.
-        names = []
-        if "HO" in cfg.frozen_classifier:
-            names += ["adapter_HO_w", "adapter_HO_b"]
-        if "U" in cfg.frozen_classifier:
-            names += ["adapter_U_w", "adapter_U_b"]
-        if "T" in cfg.frozen_classifier:
-            names += ["text_w"]
-        for n in names:
-            if trainable.get(n) is not None:
-                frozen["upt"][n] = trainable[n]
-                trainable[n] = None
-        print(f"[freeze] classifier branches: {names}")
-
     if cfg.resume and cfg.resume.endswith((".pt", ".pth")) \
             and os.path.isfile(cfg.resume):
         # a reference torch checkpoint: import towers + UPT head through
@@ -433,6 +414,25 @@ def main(cfg: RunConfig):
                   "dino": dino_p if dino_p is not None else frozen["dino"]}
         print(f"[load] imported reference torch checkpoint {cfg.resume}")
         cfg.resume = ""           # the Orbax resume path below is bypassed
+
+    if cfg.frozen_classifier:
+        # freeze selected cache-adapter branches (--frozen_classifier,
+        # main_tip_finetune.py:964-977): 'HO' -> concatenated-pair cache,
+        # 'U' -> union cache, 'T' -> text branch (adapter_union_weight ==
+        # our text_w). Moving the leaves to the frozen tree removes them
+        # from the optimizer exactly like requires_grad=False.
+        names = []
+        if "HO" in cfg.frozen_classifier:
+            names += ["adapter_HO_w", "adapter_HO_b"]
+        if "U" in cfg.frozen_classifier:
+            names += ["adapter_U_w", "adapter_U_b"]
+        if "T" in cfg.frozen_classifier:
+            names += ["text_w"]
+        for n in names:
+            if trainable.get(n) is not None:
+                frozen["upt"][n] = trainable[n]
+                trainable[n] = None
+        print(f"[freeze] classifier branches: {names}")
 
     resume_path = None
     if cfg.resume:
