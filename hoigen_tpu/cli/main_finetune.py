@@ -154,7 +154,9 @@ def build_caches(cfg: RunConfig, clip_params, model_cfg, train_factory):
     cache_dir = os.path.join("caches", "dataset")
     os.makedirs(cache_dir, exist_ok=True)
     tag = f"{cfg.zs_type}_{cfg.num_shot}" if cfg.zs else "2shots"
-    npz = os.path.join(cache_dir, f"{cfg.dataset}_global_{tag}.npz")
+    npz = os.path.join(
+        cache_dir, f"{cfg.dataset}_{num_classes}_global_{tag}.npz")
+    loaded = False
     if os.path.exists(npz) and cfg.clip_load_cache:
         g = np.load(npz)
         clip_keys, dino_keys = g["clip_keys"], g["dino_keys"]
@@ -162,8 +164,14 @@ def build_caches(cfg: RunConfig, clip_params, model_cfg, train_factory):
         # npz files carry keys only -> runtime falls back to pair one_hots
         clip_values = g["clip_values"] if "clip_values" in g else None
         dino_values = g["dino_values"] if "dino_values" in g else None
-        print(f"[cache] global caches from {npz}")
-    else:
+        if clip_keys.shape[1] != num_classes * cfg.num_shot:
+            print(f"[warn] {npz} was built for a different class/shot "
+                  f"layout ({clip_keys.shape[1]} rows, expected "
+                  f"{num_classes * cfg.num_shot}); ignoring it")
+        else:
+            loaded = True
+            print(f"[cache] global caches from {npz}")
+    if not loaded:
         rc = random_caches(num_classes, cfg.num_shot, seed=cfg.seed)
         clip_keys, dino_keys = rc.clip_global_keys, rc.dino_keys
         clip_values, dino_values = rc.clip_global_values, rc.dino_values

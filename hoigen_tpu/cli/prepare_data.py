@@ -144,8 +144,11 @@ def main(argv=None):
             dembs, np.stack(multihots), args.num_classes, args.num_shot,
             seed=args.seed)
         tag = f"{args.zs_type}_{args.num_shot}" if args.zs else "2shots"
+        # num_classes is part of the name: a 600-class cache must not be
+        # picked up by a 117-class run (row counts differ)
         out = args.out or os.path.join(
-            "caches", "dataset", f"{args.dataset}_global_{tag}.npz")
+            "caches", "dataset",
+            f"{args.dataset}_{args.num_classes}_global_{tag}.npz")
         os.makedirs(os.path.dirname(out), exist_ok=True)
         np.savez(out, clip_keys=clip_keys, clip_values=clip_values,
                  dino_keys=dino_keys, dino_values=dino_values)
