@@ -382,3 +382,43 @@ def test_detections_cli(tiny_dataset, tmp_path, monkeypatch):
     dc.main(["dump", "--data-root", tiny_dataset, "--out-dir", det_dir,
              "--batch-size", "2"])
     assert len(os.listdir(det_dir)) == 5
+
+
+def test_mismatched_global_cache_ignored(tiny_dataset, tmp_path,
+                                         monkeypatch, capsys):
+    """A cached global npz built for a different class/shot layout is
+    ignored with a warning instead of crashing the cache matmul (caught
+    on-hardware: a 600-class cache poisoning a 117-class run)."""
+    import functools
+    import hoigen_tpu.data.factory as factory_mod
+    import hoigen_tpu.cli.main_finetune as mf
+    from hoigen_tpu.data import DataFactory
+    from hoigen_tpu.utils.config import RunConfig
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(mf, "make_model_config", _tiny_model_config)
+    monkeypatch.setattr(
+        mf, "DataFactory",
+        functools.partial(DataFactory, clip_resolution=32,
+                          transform_kwargs=dict(
+                              eval_min_side=48, max_side=80,
+                              train_scales=(40, 48, 56),
+                              crop_resize_choices=(56, 64),
+                              crop_range=(32, 64))))
+    monkeypatch.setattr(factory_mod, "DEFAULT_BUCKETS",
+                        ((56, 80), (80, 56), (80, 80)))
+
+    os.makedirs("caches/dataset", exist_ok=True)
+    # expected name for a 117-class 2-shot run, but 600-class-sized rows
+    np.savez("caches/dataset/hicodet_117_global_2shots.npz",
+             clip_keys=np.zeros((512, 1200), np.float32),
+             dino_keys=np.zeros((2048, 1200), np.float32),
+             clip_values=np.zeros((1200, 600), np.float32),
+             dino_values=np.zeros((1200, 600), np.float32))
+
+    out = str(tmp_path / "run_badcache")
+    trainer = mf.main(RunConfig(
+        data_root=tiny_dataset, output_dir=out, batch_size=2, num_workers=0,
+        num_classes=117, dino=False, generate_feature=False, max_gt_pairs=4,
+        devices=1, epochs=1, seed=3, sanity=True))
+    assert "different class/shot layout" in capsys.readouterr().out
