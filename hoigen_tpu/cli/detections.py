@@ -30,7 +30,8 @@ def _detr_batches(factory, params, cfg, batch_size, limit=None):
 
     @jax.jit
     def step(p, images, mask, clip_sizes):
-        out = detr_forward(p, device_normalize(images), mask, cfg)
+        out = detr_forward(p, device_normalize(images, pad_mask=mask),
+                           mask, cfg)
         return postprocess(out["pred_logits"].astype(np.float32),
                            out["pred_boxes"].astype(np.float32), clip_sizes)
 

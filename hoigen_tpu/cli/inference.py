@@ -195,21 +195,26 @@ def main(argv=None):
               f"action '{names[args.action]}')")
         return
 
+    # numbered instance boxes (reference draw_boxes figure): every slot
+    # that participates in a valid pair
+    valid_pairs = np.nonzero(pair_valid)[0]
+    used = (np.unique(np.concatenate([px[valid_pairs], py[valid_pairs]]))
+            if len(valid_pairs) else np.arange(0))
+    # printed indices must match the numbers rendered in the boxes figure,
+    # which counts positions within `used` (reference keeps them consistent)
+    slot_no = {int(slot): i + 1 for i, slot in enumerate(used)}
+
     # print every predicted action with pair indices, score, object name
     # (reference :377-387); instance indices are 1-based like the figures
     thresh_keep = sc >= args.action_score_thresh
     for verb in np.unique(cs[thresh_keep]):
         print(f"\n=> Action: {names[int(verb)]}")
         for j in np.nonzero((cs == verb) & thresh_keep)[0]:
-            print(f"({px[ps[j]] + 1:<2}, {py[ps[j]] + 1:<2}), "
+            hi = slot_no.get(int(px[ps[j]]), int(px[ps[j]]) + 1)
+            oi = slot_no.get(int(py[ps[j]]), int(py[ps[j]]) + 1)
+            print(f"({hi:<2}, {oi:<2}), "
                   f"score: {sc[j]:.4f}, "
                   f"object: {HICO.objects[int(objects[ps[j]])]}.")
-
-    # numbered instance boxes (reference draw_boxes figure): every slot
-    # that participates in a valid pair
-    valid_pairs = np.nonzero(pair_valid)[0]
-    used = (np.unique(np.concatenate([px[valid_pairs], py[valid_pairs]]))
-            if len(valid_pairs) else np.arange(0))
     boxes_path = os.path.join(cfg.output_dir, f"vis_{args.index:06d}_boxes.png")
     draw_boxes(image, boxes[used], boxes_path)
 

@@ -529,7 +529,9 @@ def main(cfg: RunConfig):
                 HICO.object_n_verb_to_interaction,
                 zs_unseen=HICO.unseen_index[cfg.zs_type] if cfg.zs else None,
                 gather_fn=process_allgather_ragged if multi else None,
-                ap_workers=cfg.num_workers)
+                ap_workers=cfg.num_workers,
+                train_anno_interaction=train_factory.dataset
+                .anno_interaction)
             if jax.process_index() == 0:
                 print(f"The mAP is {result['mAP'] * 100:.2f}, "
                       f"rare: {result['mAP_rare'] * 100:.2f}, "

@@ -40,7 +40,8 @@ def detr_train_step_fns(cfg: DETRConfig, optimizer, coefs, aux_loss=True):
 
     @jax.jit
     def forward_and_cost(params, images, mask, gt_labels, gt_boxes):
-        out = detr_forward(params, device_normalize(images), mask, cfg)
+        out = detr_forward(params, device_normalize(images, pad_mask=mask),
+                           mask, cfg)
         layers = ((out["aux_logits"], out["aux_boxes"]) if aux_loss else
                   (out["pred_logits"][None], out["pred_boxes"][None]))
         # (L, B, Q, G) costs: each decoder layer is matched separately
@@ -63,7 +64,8 @@ def detr_train_step_fns(cfg: DETRConfig, optimizer, coefs, aux_loss=True):
                         gt_valid, rows, cols, mvalid):
         """rows/cols/mvalid: (L, B, M) per-layer host matches."""
         def loss_fn(p):
-            out = detr_forward(p, device_normalize(images), mask, cfg)
+            out = detr_forward(p, device_normalize(images, pad_mask=mask),
+                               mask, cfg)
             layers = ((out["aux_logits"], out["aux_boxes"]) if aux_loss else
                       (out["pred_logits"][None], out["pred_boxes"][None]))
 
@@ -179,9 +181,13 @@ def main(argv=None):
         if any(getattr(k, "key", None) == "backbone" for k in path)
         else "rest", params)
 
+    # the reference StepLR(lr_drop) counts EPOCHS (main_detr.py:317-319);
+    # optax schedules count optimizer updates, so convert via steps/epoch
+    steps_per_epoch = max(len(factory) // args.batch_size, 1)
+
     def group(base):
-        sched = optax.piecewise_constant_schedule(base,
-                                                  {args.lr_drop: 0.1})
+        sched = optax.piecewise_constant_schedule(
+            base, {args.lr_drop * steps_per_epoch: 0.1})
         return optax.chain(optax.clip_by_global_norm(args.clip_max_norm),
                            optax.adamw(sched,
                                        weight_decay=args.weight_decay))
@@ -193,9 +199,14 @@ def main(argv=None):
     start_epoch = 0
     if args.resume:
         path = latest_checkpoint(args.resume) or args.resume
-        state = restore_checkpoint(path, {"params": params}, partial=True)
+        state = restore_checkpoint(
+            path, {"params": params, "opt_state": opt_state, "epoch": 0},
+            partial=True)
         params = state["params"]
-        print(f"[load] resumed from {path}")
+        if state.get("opt_state") is not None:
+            opt_state = state["opt_state"]
+        start_epoch = int(state.get("epoch") or 0)
+        print(f"[load] resumed from {path} (epoch {start_epoch})")
 
     coefs = {k: getattr(args, k) for k in
              ("set_cost_class", "set_cost_bbox", "set_cost_giou",
@@ -207,7 +218,9 @@ def main(argv=None):
                                            fns, args.batch_size, args.max_gt,
                                            seed=args.seed + epoch)
         print(f"[epoch {epoch + 1}/{args.epochs}] loss {avg:.4f}")
-        save_checkpoint(args.output_dir, epoch + 1, {"params": params})
+        save_checkpoint(args.output_dir, epoch + 1,
+                        {"params": params, "opt_state": opt_state,
+                         "epoch": epoch + 1})
 
 
 if __name__ == "__main__":

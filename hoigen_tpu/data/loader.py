@@ -103,10 +103,15 @@ def iter_batches(fetch: Callable[[int], object], batches,
             if not stop.is_set():
                 q.put(_END)
         except BaseException as e:  # surfaced on the consumer side
-            try:
-                q.put(e, timeout=1.0)
-            except queue.Full:
-                pass
+            # retry like the data path: a bounded queue can stay full for
+            # >1s when the consumer is slow (e.g. eval association), and a
+            # dropped exception would leave the consumer blocked forever
+            while not stop.is_set():
+                try:
+                    q.put(e, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

@@ -41,7 +41,7 @@ def _recover_gt(boxes_cxcywh, size_hw):
 def evaluate_hico(run_batches, dataset, num_classes: int,
                   proposal_cfg, object_n_verb_to_interaction=None,
                   zs_unseen: Optional[list] = None, gather_fn=None,
-                  ap_workers: int = 0):
+                  ap_workers: int = 0, train_anno_interaction=None):
     """run_batches: iterable of (host_outputs, batch) where host_outputs has
     detection_scores (B, P, C), boxes (B, S, 4), objects (B, P) and batch
     carries GT (normalized cxcywh in the CLIP frame) + clip_sizes + indices.
@@ -104,8 +104,13 @@ def evaluate_hico(run_batches, dataset, num_classes: int,
         cat = gather_fn(cat)
     meter.append(cat["scores"], cat["inter"], cat["labels"])
     ap = meter.eval(num_workers=ap_workers)
-    num_gt = np.asarray(num_gt, np.float64)
-    rare = num_gt < 10
+    # rare = interactions with <10 TRAINING instances (the reference splits
+    # on trainset.dataset.anno_interaction, main_tip_finetune.py:915-917 —
+    # NOT the test-set counts the AP meter normalizes recall with)
+    rare_counts = np.asarray(
+        num_gt if train_anno_interaction is None else train_anno_interaction,
+        np.float64)
+    rare = rare_counts < 10
 
     def _mean(x):
         return float(x.mean()) if len(x) else 0.0

@@ -59,12 +59,13 @@ def _forward(trainable, frozen, buffers, batch, cfg: HOIModelConfig,
     # feeds ship uint8 pixels + (h, w) sizes; normalization and the padding
     # plane are reconstructed on-device (ops/pixels). Float feeds (synthetic
     # benches, parity tests) pass through unchanged.
-    images = device_normalize(batch["images"], dtype)
     if "image_mask" in batch:
         image_mask = batch["image_mask"]
     else:
         image_mask = pad_mask_from_sizes(batch["image_sizes"],
-                                         images.shape[2], images.shape[3])
+                                         batch["images"].shape[2],
+                                         batch["images"].shape[3])
+    images = device_normalize(batch["images"], dtype, pad_mask=image_mask)
     detr_out = detr_forward(frozen["detr"], images, image_mask, cfg.detr)
     detr_out = jax.lax.stop_gradient(detr_out)
     # postprocess at the CLIP-stream frame (reference uses the CLIP image

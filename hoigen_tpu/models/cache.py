@@ -163,7 +163,8 @@ def build_pair_cache(annotation: dict, num_classes: int, num_shot: int,
 
     # backfill: unseen interactions get random rows; verbs with no samples
     # get zero rows with identity labels (:690-708)
-    d = FEATURE_DIM
+    d = next((f[0].shape[-1] for k in feats for f in feats[k] if f),
+             FEATURE_DIM)   # infer the embed dim from the pkl rows
     for c in range(num_classes):
         if feats["hum"][c]:
             continue

@@ -67,15 +67,15 @@ def _mha_fused(p, q, kv, num_heads, key_padding_mask, kv_pos):
     (ops/attention.py): projections and output stay XLA; the score/softmax/
     value contraction never materializes in HBM.
 
-    q/k/v heads are cast to bf16 before the kernel (the f32 sine positions
-    otherwise promote the whole chain to f32, which doubles the kernel's
-    VMEM footprint past the 16MB scoped limit). The surrounding bf16 tower
-    already runs every matmul in bf16, so this adds no new precision class;
-    scores still accumulate in f32 inside the kernel."""
+    The kernel runs in the tower dtype (callers gate the fused path on the
+    tower running bf16 — an f32 tower would double the kernel's VMEM
+    footprint past the 16MB scoped limit and silently change the precision
+    class of a float32-configured pipeline); scores still accumulate in f32
+    inside the kernel."""
     from ...ops.attention import fused_attention
     b, lq, e = q.shape
     hd = e // num_heads
-    dt = jnp.bfloat16
+    dt = q.dtype
     lk = kv.shape[1]
     w_q, w_k, w_v = jnp.split(p["w_qkv"].astype(dt), 3, axis=0)
     b_q, b_k, b_v = jnp.split(p["b_qkv"].astype(dt), 3, axis=0)
@@ -90,7 +90,7 @@ def _mha_fused(p, q, kv, num_heads, key_padding_mask, kv_pos):
         jnp.where(key_padding_mask, -1e9, 0.0).astype(jnp.float32)
     o = fused_attention(qh, kh, vh, key_bias=bias)
     out = o.astype(q.dtype).transpose(0, 2, 1, 3).reshape(b, lq, e)
-    return out @ p["w_out"].T + p["b_out"]
+    return out @ p["w_out"].astype(dt).T + p["b_out"].astype(dt)
 
 
 def encoder_layer(p, src, pos, key_padding_mask, num_heads, fused=False):
@@ -133,7 +133,11 @@ def transformer_forward(params, src, mask, query_embed, pos_embed,
     # cost on the MXU) when the tower runs bf16
     pos_embed = pos_embed.astype(src.dtype)
     query_embed = query_embed.astype(src.dtype)
-    fused = cfg.fused_encoder_attention and jax.default_backend() == "tpu"
+    # fused path only when the tower actually runs bf16: the kernel's VMEM
+    # budget assumes 2-byte tiles, and fusing an f32-configured pipeline
+    # would silently change its precision class (advisor r2 finding)
+    fused = (cfg.fused_encoder_attention and jax.default_backend() == "tpu"
+             and src.dtype == jnp.bfloat16)
     for p in params["encoder"]:
         memory = encoder_layer(p, memory, pos_embed, mask, cfg.nheads,
                                fused=fused)

@@ -19,19 +19,29 @@ IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
-def device_normalize(images, dtype=jnp.float32):
+def device_normalize(images, dtype=jnp.float32, pad_mask=None):
     """(B, 3, H, W) uint8 pixels -> ImageNet-normalized ``dtype``.
 
     Float inputs are assumed already normalized (host float path,
     synthetic benches) and only cast — both feed conventions run through
     the same jitted model code.
+
+    ``pad_mask`` (B, H, W, True = padding) zeroes padded pixels *after*
+    normalization. The reference pads with 0.0 post-Normalize
+    (nested_tensor_from_tensor_list over normalized floats,
+    /root/reference/upt_tip_cache_model_free_finetune_distill3.py:1593);
+    a zero-padded uint8 feed would otherwise map padding to -mean/std
+    (~ -2.1/channel) and drift the frozen convs at every image border.
     """
     if not jnp.issubdtype(images.dtype, jnp.integer):
         return images.astype(dtype)
     x = images.astype(jnp.float32) / 255.0
     mean = IMAGENET_MEAN.reshape(1, 3, 1, 1)
     std = IMAGENET_STD.reshape(1, 3, 1, 1)
-    return ((x - mean) / std).astype(dtype)
+    x = (x - mean) / std
+    if pad_mask is not None:
+        x = jnp.where(pad_mask[:, None, :, :], 0.0, x)
+    return x.astype(dtype)
 
 
 def pad_mask_from_sizes(sizes, height: int, width: int):

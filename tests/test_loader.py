@@ -152,6 +152,33 @@ def test_pixels_device_normalize_and_mask():
     np.testing.assert_array_equal(m, exp)
 
 
+def test_uint8_padded_feed_matches_float_pad_after_normalize():
+    """The reference zero-pads AFTER Normalize (padding = 0.0 floats,
+    upt_tip...py:1593); a zero-padded uint8 feed maps pad bytes to
+    -mean/std unless masked. device_normalize(pad_mask=...) must reproduce
+    the reference layout exactly (advisor r2 high finding)."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from hoigen_tpu.data.transforms import to_chw_uint8, to_normalized_array
+    from hoigen_tpu.ops.pixels import device_normalize, pad_mask_from_sizes
+
+    rng = np.random.default_rng(7)
+    h, w, hb, wb = 11, 13, 16, 20
+    img = Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    # reference layout: normalize the real pixels, zero-pad the rest
+    ref = np.zeros((1, 3, hb, wb), np.float32)
+    ref[0, :, :h, :w] = to_normalized_array(img)
+    # uint8 feed: zero-pad bytes, normalize+mask on device
+    feed = np.zeros((1, 3, hb, wb), np.uint8)
+    feed[0, :, :h, :w] = to_chw_uint8(img)
+    mask = pad_mask_from_sizes(jnp.asarray([[h, w]], np.int32), hb, wb)
+    got = np.asarray(device_normalize(jnp.asarray(feed), pad_mask=mask))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    # without the mask the padding drifts — the bug being guarded against
+    bad = np.asarray(device_normalize(jnp.asarray(feed)))
+    assert abs(bad[0, 0, -1, -1]) > 1.0
+
+
 def test_collate_uint8_and_sizes():
     """collate_batch ships uint8 pixels and (h, w) sizes that reproduce the
     bool mask exactly."""
