@@ -51,7 +51,11 @@ def main():
         init(jax.random.PRNGKey(0)))
     log("bench: init done")
 
-    batch = make_example_batch(cfg, batch_size=BATCH, detr_hw=(800, 1344))
+    # production feed: uint8 DETR stream only; normalization, padding
+    # plane and the 224 CLIP stream (PIL-parity bicubic, ops/resize) are
+    # all computed on-device inside the timed step
+    batch = make_example_batch(cfg, batch_size=BATCH, detr_hw=(800, 1344),
+                               device_clip_stream=True)
     batch = jax.device_put(batch)   # keep the 100MB image batch on-device
     batch = jax.block_until_ready(batch)
     base_step = make_eval_step(cfg)
@@ -66,7 +70,7 @@ def main():
     @jax.jit
     def step(tr, fz, bf, b, c):
         b = dict(b)
-        b["images_clip"] = b["images_clip"] + c
+        b["image_sizes"] = b["image_sizes"] + c    # real data dependency
         out = base_step(tr, fz, bf, b)
         return out["detection_scores"].sum()       # scalar forces full exec
 

@@ -137,7 +137,8 @@ def main(argv=None):
 
     model_cfg = make_model_config(cfg)
     factory = DataFactory(cfg.dataset, "test2015" if cfg.dataset == "hicodet"
-                          else "test", cfg.data_root, training=False)
+                          else "test", cfg.data_root, training=False,
+                          host_clip_stream=cfg.host_clip_stream)
     rng = jax.random.PRNGKey(cfg.seed)
     clip_params, detr_params, dino_params = load_pretrained(cfg, model_cfg,
                                                             rng)
@@ -155,11 +156,14 @@ def main(argv=None):
 
     batch = collate_batch([factory[args.index]], cfg.max_gt_pairs)
     step = jax.jit(make_eval_step(model_cfg))
-    out = step(trainable, frozen, buffers, {
+    feed = {
         "images": batch.images, "image_sizes": batch.image_sizes,
-        "images_clip": batch.images_clip, "clip_sizes": batch.clip_sizes,
+        "clip_sizes": batch.clip_sizes,
         "boxes_h": batch.boxes_h, "boxes_o": batch.boxes_o,
-        "labels": batch.labels, "gt_valid": batch.gt_valid})
+        "labels": batch.labels, "gt_valid": batch.gt_valid}
+    if batch.images_clip is not None:
+        feed["images_clip"] = batch.images_clip
+    out = step(trainable, frozen, buffers, feed)
 
     scores_mat = np.asarray(out["detection_scores"])[0]
     boxes = np.asarray(out["boxes"])[0]

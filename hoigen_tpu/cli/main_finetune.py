@@ -301,9 +301,11 @@ def batches_from_factory(factory, batch_size, cfg, mesh=None, shuffle=True,
         # uint8 pixels + (h, w) sizes: ~4x less H2D traffic than normalized
         # float + bool mask; the device reconstructs both (ops/pixels)
         d = {"images": batch.images, "image_sizes": batch.image_sizes,
-             "images_clip": batch.images_clip, "clip_sizes": batch.clip_sizes,
+             "clip_sizes": batch.clip_sizes,
              "boxes_h": batch.boxes_h, "boxes_o": batch.boxes_o,
              "labels": cls_ids, "gt_valid": batch.gt_valid}
+        if batch.images_clip is not None:     # host 224 stream (opt-in)
+            d["images_clip"] = batch.images_clip
         return d, batch
 
     multi = jax.process_count() > 1
@@ -348,7 +350,8 @@ def main(cfg: RunConfig):
                                 cfg.data_root, training=True,
                                 zero_shot=cfg.zs, zs_type=cfg.zs_type,
                                 num_classes=cfg.num_classes,
-                                max_gt_pairs=cfg.max_gt_pairs, seed=cfg.seed)
+                                max_gt_pairs=cfg.max_gt_pairs, seed=cfg.seed,
+                                host_clip_stream=cfg.host_clip_stream)
     if cfg.training_set_ratio < 0.9:
         # random-subset training (main_tip_finetune.py:368-372; the
         # reference permutes with the global np seed — we use cfg.seed)
@@ -360,7 +363,8 @@ def main(cfg: RunConfig):
               f"({n} images)")
     test_factory = DataFactory(cfg.dataset, cfg.partitions[1],
                                cfg.data_root, training=False,
-                               max_gt_pairs=cfg.max_gt_pairs)
+                               max_gt_pairs=cfg.max_gt_pairs,
+                               host_clip_stream=cfg.host_clip_stream)
 
     clip_params, detr_params, dino_params = load_pretrained(
         cfg, model_cfg, rng)

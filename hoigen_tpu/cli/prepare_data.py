@@ -73,6 +73,9 @@ def main(argv=None):
     p.add_argument("--vsrl-partition", type=int, default=0,
                    help="vcoco-annotations: 0 = train/val/trainval "
                    "(COCO train2014 filenames), 1 = test (val2014)")
+    p.add_argument("--host-crops", action="store_true",
+                   help="pair-embeddings: host PIL crop path instead of "
+                   "the fused on-device crop+CLIP encoder")
     args = p.parse_args(argv)
 
     if args.task == "vcoco-annotations":
@@ -105,7 +108,12 @@ def main(argv=None):
     if args.task == "pair-embeddings":
         out = args.out or ("hicodet_pkl_files/union_embeddings_cachemodel_"
                            "crop_padding_zeros_vitb16.p")
-        produce_pair_embeddings(dataset, apply_fn, out, limit=args.limit)
+        crop_encoder = None
+        if not args.host_crops:
+            from ..data.crops import make_device_crop_encoder
+            crop_encoder = make_device_crop_encoder(clip_params, clip_cfg)
+        produce_pair_embeddings(dataset, apply_fn, out, limit=args.limit,
+                                crop_encoder=crop_encoder)
         print(f"pair embeddings -> {out}")
     elif args.task == "gt-features":
         crops = CropDataset(args.split_json, "train", training=False)

@@ -167,16 +167,82 @@ class CropDataset:
             yield np.stack(imgs), np.asarray(labels, np.int32)
 
 
+def make_device_crop_encoder(clip_params, clip_cfg, resolution: int = 224,
+                             chunk: int = 32, pad_to: int = 128):
+    """Fused on-device crop+resize+normalize+CLIP encoder
+    (BASELINE.json north-star: union-box preprocessing fused on device).
+
+    The image ships to the device once (uint8-valued float, padded to a
+    /pad_to bucket so shapes recompile rarely); every human/object/union
+    crop is extracted by the PIL-parity bicubic kernel
+    (ops/resize.crop_resize_square_pil_u8 — square zero-pad semantics with
+    per-pass uint8 quantization) and encoded by CLIP without ever
+    materializing crop pixels on the host. Replaces the host PIL loop of
+    /root/reference/pre_images/crop_images.py:206-229 and the
+    crop->preprocess->stack path the reference's shipped pickle was built
+    with.
+
+    Returns ``encode(image_hw3_u8, boxes_xyxy) -> (N, embed) float32``.
+    Boxes are rounded with PIL's crop convention (Python round -> np.rint,
+    banker's); degenerate boxes (<1px after rounding) fall back to the
+    whole image like the reference producer.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.clip.model import encode_image
+    from ..ops.resize import crop_resize_square_pil_u8
+
+    mean = jnp.asarray(CLIP_MEAN).reshape(1, 3, 1, 1)
+    std = jnp.asarray(CLIP_STD).reshape(1, 3, 1, 1)
+
+    @jax.jit
+    def _encode(params, image, boxes):
+        crops = jax.vmap(
+            lambda b: crop_resize_square_pil_u8(image, b, resolution))(boxes)
+        crops = (crops / 255.0 - mean) / std
+        return encode_image(params, crops, clip_cfg)[0]
+
+    def encode(image: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+        h, w = image.shape[:2]
+        hb = -(-h // pad_to) * pad_to
+        wb = -(-w // pad_to) * pad_to
+        buf = np.zeros((3, hb, wb), np.float32)
+        buf[:, :h, :w] = image.transpose(2, 0, 1)
+        boxes = np.rint(np.asarray(boxes, np.float64)).astype(np.float32)
+        deg = (boxes[:, 2] - boxes[:, 0] < 1) | \
+            (boxes[:, 3] - boxes[:, 1] < 1)
+        boxes[deg] = (0.0, 0.0, float(w), float(h))
+        out = []
+        for lo in range(0, len(boxes), chunk):
+            blk = boxes[lo:lo + chunk]
+            n = len(blk)
+            if n < chunk:
+                blk = np.concatenate(
+                    [blk, np.tile([[0.0, 0.0, w, h]], (chunk - n, 1))
+                     .astype(np.float32)])
+            out.append(np.asarray(_encode(clip_params, buf,
+                                          jnp.asarray(blk)))[:n])
+        return np.concatenate(out) if out else np.zeros(
+            (0, clip_cfg.embed_dim), np.float32)
+
+    return encode
+
+
 def produce_pair_embeddings(dataset, clip_apply: Callable, out_path: str,
                             batch_size: int = 64,
                             limit: Optional[int] = None,
-                            resolution: int = 224):
+                            resolution: int = 224,
+                            crop_encoder: Optional[Callable] = None):
     """Producer for the pair-embedding pickle the reference only ships
     pre-computed: per image filename, the CLIP features of every GT
     human/object/union crop plus boxes and class ids (keys as consumed by
     load_cache_model, upt...py:635-688, incl. the 'huamn_features' typo).
 
     clip_apply: (N, 3, r, r) float32 -> (N, 512) CLIP global features.
+    crop_encoder: optional fused device path (make_device_crop_encoder) —
+    (image_hw3, boxes (N, 4)) -> (N, embed); when given, crop pixels are
+    never materialized on the host and ``clip_apply`` is unused.
     """
     annotation = {}
     pending, meta = [], []
@@ -210,6 +276,15 @@ def produce_pair_embeddings(dataset, clip_apply: Callable, out_path: str,
             "object_features": [None] * len(bh),
             "union_features": [None] * len(bh),
         }
+        if crop_encoder is not None:
+            n_pairs = len(bh)
+            feats = crop_encoder(np.asarray(image),
+                                 np.concatenate([bh, bo, union]))
+            anno = annotation[fname]
+            anno["huamn_features"] = list(feats[:n_pairs])
+            anno["object_features"] = list(feats[n_pairs:2 * n_pairs])
+            anno["union_features"] = list(feats[2 * n_pairs:])
+            continue
         for j in range(len(bh)):
             for kind, box in (("huamn_features", bh[j]),
                               ("object_features", bo[j]),

@@ -24,7 +24,8 @@ class Batch:
     images: np.ndarray        # (B, 3, Hb, Wb) padded DETR stream, uint8
     image_mask: np.ndarray    # (B, Hb, Wb) True where padded
     image_sizes: np.ndarray   # (B, 2) unpadded (h, w) — compact mask form
-    images_clip: np.ndarray   # (B, 3, r, r) uint8
+    images_clip: Optional[np.ndarray]  # (B, 3, r, r) uint8; None when the
+    #                           224 stream is derived on-device (ops/resize)
     clip_sizes: np.ndarray    # (B, 2) = (r, r)
     boxes_h: np.ndarray       # (B, G, 4) normalized cxcywh (CLIP frame)
     boxes_o: np.ndarray
@@ -51,7 +52,8 @@ class DataFactory:
                  training: bool, zero_shot: bool = False,
                  zs_type: str = "rare_first", num_classes: int = 117,
                  clip_resolution: int = 224, max_gt_pairs: int = 32,
-                 seed: int = 0, transform_kwargs: Optional[dict] = None):
+                 seed: int = 0, transform_kwargs: Optional[dict] = None,
+                 host_clip_stream: bool = True):
         if name == "hicodet":
             anno = f"{data_root}/instances_{partition}.json"
             root = f"{data_root}/hico_20160224_det/images/{partition}"
@@ -69,8 +71,10 @@ class DataFactory:
         self.training = training
         self.num_classes = num_classes
         self.max_gt_pairs = max_gt_pairs
-        self.transform = DualStreamTransform(training, clip_resolution, seed,
-                                             **(transform_kwargs or {}))
+        self.transform = DualStreamTransform(
+            training, clip_resolution, seed,
+            **{"host_clip_stream": host_clip_stream,
+               **(transform_kwargs or {})})
         self.zero_shot = zero_shot and name == "hicodet" and training
         self.filtered_hoi_idx: List[int] = []
         if self.zero_shot:
@@ -135,8 +139,10 @@ def collate_batch(samples, max_gt_pairs: int = 32,
     images = np.zeros((b, 3, hb, wb), img_dtype)
     mask = np.ones((b, hb, wb), bool)
     sizes = np.zeros((b, 2), np.int32)
-    r = samples[0][1].shape[-1]
-    images_clip = np.zeros((b, 3, r, r), img_dtype)
+    host_clip = samples[0][1] is not None
+    r = samples[0][1].shape[-1] if host_clip \
+        else int(samples[0][2]["size"][0])
+    images_clip = np.zeros((b, 3, r, r), img_dtype) if host_clip else None
     g = max_gt_pairs
     bh = np.zeros((b, g, 4), np.float32)
     bo = np.zeros((b, g, 4), np.float32)
@@ -150,7 +156,8 @@ def collate_batch(samples, max_gt_pairs: int = 32,
         images[i, :, :h, :w] = img
         mask[i, :h, :w] = False
         sizes[i] = (h, w)
-        images_clip[i] = cimg
+        if host_clip:
+            images_clip[i] = cimg
         n = min(len(tgt["boxes_h"]), g)
         if n:
             bh[i, :n] = tgt["boxes_h"][:n]

@@ -146,7 +146,7 @@ class DualStreamTransform:
                  seed: int = 0, eval_min_side: int = 800,
                  max_side: int = 1333, train_scales=TRAIN_SCALES,
                  crop_resize_choices=(400, 500, 600),
-                 crop_range=(384, 600)):
+                 crop_range=(384, 600), host_clip_stream: bool = True):
         self.training = training
         self.clip_resolution = clip_resolution
         self.seed = seed
@@ -156,6 +156,13 @@ class DualStreamTransform:
         self.train_scales = train_scales
         self.crop_resize_choices = crop_resize_choices
         self.crop_range = crop_range
+        # host_clip_stream=False: skip the second host PIL pass — the 224
+        # stream is derived on-device from the DETR stream
+        # (ops/resize.batch_resize_normalize), which is exactly the
+        # reference's semantics since its IResize runs AFTER the DETR
+        # resize (utils_tip_cache_and_union_finetune.py:193-196). Only the
+        # target math runs here; the clip image slot returns None.
+        self.host_clip_stream = host_clip_stream
 
     def __call__(self, image, target, rng=None):
         rng = self.rng if rng is None else rng
@@ -178,7 +185,14 @@ class DualStreamTransform:
             image, target = resize(image, target, self.eval_min_side,
                                    self.max_side)
         r = self.clip_resolution
-        clip_image, target = resize(image, target, (r, r))
-        target = boxes_to_normalized_cxcywh(target, r, r)
+        if self.host_clip_stream:
+            clip_image, target = resize(image, target, (r, r))
+            target = boxes_to_normalized_cxcywh(target, r, r)
+            target["size"] = np.asarray([r, r], np.float32)
+            return to_chw_uint8(image), to_chw_uint8(clip_image), target
+        # device clip stream: normalize boxes straight from the DETR frame
+        # (b * r/w / r == b/w — same floats the 224-frame path produces)
+        w, h = image.size
+        target = boxes_to_normalized_cxcywh(target, w, h)
         target["size"] = np.asarray([r, r], np.float32)
-        return to_chw_uint8(image), to_chw_uint8(clip_image), target
+        return to_chw_uint8(image), None, target

@@ -87,8 +87,18 @@ def _forward(trainable, frozen, buffers, batch, cfg: HOIModelConfig,
                       "uni": batch["gen_uni"],
                       "obj_cls": batch["gen_obj_cls"],
                       "verb_multihot": batch["gen_verb_multihot"]}
+    if "images_clip" in batch:
+        images_clip = device_normalize(batch["images_clip"], jnp.float32)
+    else:
+        # device-derived 224 stream: the host ships only the DETR stream;
+        # IResize-after-DETR-resize semantics with PIL uint8 rounding
+        # (ops/resize) — removes the second host PIL pass per image
+        from ..ops.resize import batch_resize_normalize
+        images_clip = batch_resize_normalize(
+            batch["images"], batch["image_sizes"].astype(jnp.float32),
+            cfg.upt.clip_resolution)
     return upt_forward(params, buffers, post,
-                       device_normalize(batch["images_clip"], jnp.float32),
+                       images_clip,
                        batch["clip_sizes"], cfg.clip, cfg.upt,
                        dino_apply=dino_apply, targets=targets,
                        training=training, rng=rng, gen_sample=gen_sample)
@@ -163,18 +173,33 @@ def make_eval_step(cfg: HOIModelConfig):
 
 
 def make_example_batch(cfg: HOIModelConfig, batch_size=2, detr_hw=(256, 256),
-                       seed=0, max_gt=8):
-    """Synthetic batch with the right static shapes (tests/bench/dryrun)."""
+                       seed=0, max_gt=8, device_clip_stream=False):
+    """Synthetic batch with the right static shapes (tests/bench/dryrun).
+
+    ``device_clip_stream``: ship the production feed — uint8 DETR pixels +
+    (h, w) sizes, no host 224 stream (it is derived on-device, ops/resize).
+    """
     rng = np.random.default_rng(seed)
     h, w = detr_hw
     r = cfg.upt.clip_resolution
     mask = np.zeros((batch_size, h, w), bool)
     mask[:, :, w - w // 8:] = True
-    return {
-        "images": rng.normal(size=(batch_size, 3, h, w)).astype(np.float32),
-        "image_mask": mask,
-        "images_clip": rng.normal(size=(batch_size, 3, r, r))
-        .astype(np.float32),
+    if device_clip_stream:
+        pixels = {
+            "images": rng.integers(0, 256, (batch_size, 3, h, w))
+            .astype(np.uint8),
+            "image_sizes": np.tile(np.asarray([h, w - w // 8], np.float32),
+                                   (batch_size, 1)),
+        }
+    else:
+        pixels = {
+            "images": rng.normal(size=(batch_size, 3, h, w))
+            .astype(np.float32),
+            "image_mask": mask,
+            "images_clip": rng.normal(size=(batch_size, 3, r, r))
+            .astype(np.float32),
+        }
+    return pixels | {
         "clip_sizes": np.full((batch_size, 2), float(r), np.float32),
         "boxes_h": (rng.random((batch_size, max_gt, 4)) * 0.4 + 0.2)
         .astype(np.float32),

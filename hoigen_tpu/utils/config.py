@@ -34,6 +34,10 @@ class RunConfig:
     num_workers: int = 2
     output_dir: str = "outputs/hico"
     print_interval: int = 500
+    # host-side PIL 224 stream instead of the on-device derivation
+    # (ops/resize); device is the default — the reference's IResize runs
+    # after the DETR resize, so the derivation is semantics-preserving
+    host_clip_stream: bool = False
 
     # modes
     eval: bool = False

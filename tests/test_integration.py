@@ -166,6 +166,43 @@ def test_crops_and_pair_embedding_producer(synthetic_hicodet, tmp_path):
         assert np.abs(cache.cache_u[c * 2]).sum() > 0
 
 
+def test_device_crop_encoder_matches_host_producer(synthetic_hicodet,
+                                                   tmp_path):
+    """The fused on-device crop+CLIP path (make_device_crop_encoder) must
+    produce the same pair-embedding pickle as the host PIL loop, through a
+    real (tiny) CLIP encoder: crop pixels differ by <=1/255 (PIL uint8
+    rounding), so features must agree tightly."""
+    import jax
+
+    from hoigen_tpu.data.crops import make_device_crop_encoder
+    from hoigen_tpu.models.clip.config import CLIPConfig
+    from hoigen_tpu.models.clip.model import encode_image, init_clip_params
+
+    cfg = CLIPConfig(image_resolution=32, vision_layers=2, vision_width=64,
+                     vision_patch_size=8, transformer_layers=2,
+                     transformer_width=64, context_length=16,
+                     adapter_layers=())
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    apply_fn = jax.jit(lambda im: encode_image(params, im, cfg)[0])
+
+    factory = DataFactory("hicodet", "test2015", synthetic_hicodet,
+                          training=False)
+    host = produce_pair_embeddings(
+        factory.dataset, lambda im: np.asarray(apply_fn(im)),
+        str(tmp_path / "host.p"), limit=3, resolution=32)
+    dev = produce_pair_embeddings(
+        factory.dataset, None, str(tmp_path / "dev.p"), limit=3,
+        crop_encoder=make_device_crop_encoder(params, cfg, resolution=32,
+                                              chunk=4, pad_to=64))
+    assert host.keys() == dev.keys()
+    for fname in host:
+        for kind in ("huamn_features", "object_features", "union_features"):
+            h, d = host[fname][kind], dev[fname][kind]
+            assert h.shape == d.shape
+            denom = np.maximum(np.abs(h).max(), 1e-6)
+            assert np.abs(h - d).max() / denom < 2e-2, (fname, kind)
+
+
 def test_evaluate_hico_perfect_detector(synthetic_hicodet):
     """Detections fabricated exactly at GT -> AP 1.0 for annotated classes."""
     factory = DataFactory("hicodet", "test2015", synthetic_hicodet,

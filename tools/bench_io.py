@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--workers", type=int,
                     default=max(os.cpu_count() or 1, 1))
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--host-clip-stream", action="store_true",
+                    help="host PIL 224 pass (the pre-round-3 pipeline) "
+                         "instead of the on-device derivation")
     args = ap.parse_args()
 
     import jax
@@ -79,7 +82,8 @@ def main():
     log(f"bench_io: writing {args.images} jpegs to {tmp}")
     make_jpeg_dataset(tmp, args.images)
     factory = DataFactory("hicodet", "test2015", tmp, training=False,
-                          max_gt_pairs=8)
+                          max_gt_pairs=8,
+                          host_clip_stream=args.host_clip_stream)
     cfg = RunConfig(num_workers=args.workers, max_gt_pairs=8,
                     num_classes=600)
 
@@ -113,8 +117,9 @@ def main():
         out = base_step(tr, fz, bf, b)
         return out["detection_scores"].sum()
 
-    resident = jax.device_put(make_example_batch(mcfg, batch_size=args.batch,
-                                                 detr_hw=(800, 1344)))
+    resident = jax.device_put(make_example_batch(
+        mcfg, batch_size=args.batch, detr_hw=(800, 1344),
+        device_clip_stream=not args.host_clip_stream))
     log("bench_io: compiling eval step...")
     np.asarray(step(trainable, frozen, buffers, resident))
     t0 = time.perf_counter()
@@ -166,6 +171,7 @@ def main():
         "feed_mb_per_batch": round(nbytes / 1e6, 1),
         "workers": args.workers,
         "host_cores": os.cpu_count(),
+        "clip_stream": "host" if args.host_clip_stream else "device",
     }))
 
 
