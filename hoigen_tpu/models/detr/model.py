@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..clip.model import layer_norm, mha  # shared primitive blocks
 from .config import DETRConfig
-from .resnet import resnet50_forward, init_resnet50_params
+from .resnet import resnet50_forward_nhwc, init_resnet50_params
 from ...ops.boxes import box_cxcywh_to_xyxy
 
 
@@ -156,16 +156,23 @@ def detr_forward(params, images, image_mask, cfg: DETRConfig):
     where padded. Returns dict with pred_logits (B, Q, C+1),
     pred_boxes (B, Q, 4 cxcywh in [0,1]), hs (layers, B, Q, D), memory.
     """
-    feat = resnet50_forward(params["backbone"], images,
-                            remat=cfg.remat_backbone)
-    b, c, fh, fw = feat.shape
+    # NHWC tower: channels-minor is XLA-TPU's native conv layout — measured
+    # 40.7ms vs 68.4ms for the NCHW form at batch 16 / 800x1344 bf16
+    # standalone (tools/bench_resnet.py); in the FULL eval graph it is
+    # throughput-neutral (XLA already relayouts the NCHW form), but it is
+    # the layout ops/fused_resnet.py requires, and the C5 tensor reshapes
+    # straight into the (B, HW, C) sequence the transformer wants
+    feat = resnet50_forward_nhwc(params["backbone"],
+                                 jnp.transpose(images, (0, 2, 3, 1)),
+                                 remat=cfg.remat_backbone)
+    b, fh, fw, c = feat.shape
     fmask = downsample_mask(image_mask, fh, fw)
     pos = sine_position_embedding(fmask, cfg.hidden_dim // 2)
     # 1x1 input projection then flatten to (B, HW, D)
     w = params["input_proj"]["w"].astype(feat.dtype)
-    proj = jnp.einsum("bchw,dc->bdhw", feat, w[:, :, 0, 0]) \
-        + params["input_proj"]["b"].astype(feat.dtype)[None, :, None, None]
-    src = proj.reshape(b, cfg.hidden_dim, fh * fw).transpose(0, 2, 1)
+    src = (jnp.einsum("bhwc,dc->bhwd", feat, w[:, :, 0, 0])
+           + params["input_proj"]["b"].astype(feat.dtype)
+           ).reshape(b, fh * fw, cfg.hidden_dim)
     pos = pos.reshape(b, fh * fw, cfg.hidden_dim)
     mask = fmask.reshape(b, fh * fw)
     hs, memory = transformer_forward(params, src, mask,

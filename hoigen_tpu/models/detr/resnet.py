@@ -108,6 +108,56 @@ def resnet50_forward(params, x, stem_s2d=None, remat=False):
     return x
 
 
+# ------------------------------------------------------------- NHWC --------
+_DN_NHWC = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv_nhwc(x, w_oihw, stride=1, padding=0):
+    # OIHW -> HWIO at trace time; XLA folds the transpose into the
+    # constant/frozen weight
+    w = jnp.transpose(w_oihw, (2, 3, 1, 0)).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), [(padding, padding), (padding, padding)],
+        dimension_numbers=_DN_NHWC)
+
+
+def _conv_bn_nhwc(x, p, stride=1, padding=0, relu=True):
+    y = _conv_nhwc(x, p["w"], stride, padding)
+    y = y * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def _max_pool_3x3_s2_nhwc(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)])
+
+
+def _bottleneck_nhwc(x, p, stride):
+    out = _conv_bn_nhwc(x, p["conv1"])
+    out = _conv_bn_nhwc(out, p["conv2"], stride=stride, padding=1)
+    out = _conv_bn_nhwc(out, p["conv3"], relu=False)
+    identity = _conv_bn_nhwc(x, p["down"], stride=stride, relu=False) \
+        if "down" in p else x
+    return jax.nn.relu(out + identity)
+
+
+def resnet50_forward_nhwc(params, x, remat=False):
+    """x: (B, H, W, 3) -> C5 (B, H/32, W/32, 2048): the NCHW tower's math
+    in XLA-TPU's native conv layout (channels minor = lane dimension), so
+    no boundary transposes/relayouts between fused regions. Same params
+    (OIHW weights transposed at trace time)."""
+    x = _conv_bn_nhwc(x, params["stem"], stride=2, padding=3)
+    x = _max_pool_3x3_s2_nhwc(x)
+    block = jax.checkpoint(_bottleneck_nhwc, static_argnums=(2,)) if remat \
+        else _bottleneck_nhwc
+    for li, blocks in enumerate(params["layers"]):
+        stride = 1 if li == 0 else 2
+        for bi, bp in enumerate(blocks):
+            x = block(x, bp, stride if bi == 0 else 1)
+    return x
+
+
 # ---------------------------------------------------------------- init -----
 def _conv_bn_init(rng, out_c, in_c, k):
     fan = in_c * k * k

@@ -10,13 +10,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from .detr.resnet import (LAYER_BLOCKS, fold_bn, init_resnet50_params,
-                          resnet50_forward)
+                          resnet50_forward_nhwc)
 
 
 def dino_forward(params, images):
     """images (B, 3, H, W) -> (B, 2048) global features."""
-    feat = resnet50_forward(params, images)
-    return feat.mean(axis=(2, 3))
+    import jax.numpy as jnp
+    feat = resnet50_forward_nhwc(params, jnp.transpose(images, (0, 2, 3, 1)))
+    return feat.mean(axis=(1, 2))
 
 
 init_dino_params = init_resnet50_params

@@ -351,6 +351,22 @@ def test_stem_s2d_conv_parity():
                                atol=1e-4, rtol=1e-5)
 
 
+def test_resnet_nhwc_forward_parity():
+    """The NHWC tower (production path) == the NCHW reference form."""
+    import jax
+    from hoigen_tpu.models.detr.resnet import (init_resnet50_params,
+                                               resnet50_forward,
+                                               resnet50_forward_nhwc)
+
+    rng = np.random.default_rng(2)
+    p = init_resnet50_params(jax.random.PRNGKey(0))
+    x = np.asarray(rng.normal(size=(2, 3, 64, 96)), np.float32)
+    a = np.asarray(resnet50_forward(p, x))
+    b = np.asarray(resnet50_forward_nhwc(p, x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(a, b.transpose(0, 3, 1, 2),
+                               atol=1e-4, rtol=1e-5)
+
+
 def test_resnet_stem_s2d_forward_parity():
     """resnet50_forward with the s2d stem == the strided-stem forward."""
     import jax
