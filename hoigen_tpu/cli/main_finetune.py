@@ -18,7 +18,8 @@ from ..data.factory import DataFactory, collate_batch, slice_batch
 from ..data.loader import batch_indices, iter_batches
 from ..engine.checkpoint import latest_checkpoint, restore_checkpoint, \
     save_checkpoint
-from ..engine.eval import cache_hico, cache_vcoco, evaluate_hico
+from ..engine.eval import (cache_hico, cache_vcoco, evaluate_hico,
+                           evaluate_vcoco)
 from ..engine.hoi_model import HOIModelConfig, init_hoi_model, \
     make_eval_step, make_optimizer, make_train_step
 from ..engine.train import Trainer
@@ -523,10 +524,21 @@ def main(cfg: RunConfig):
                                 model_cfg.upt.proposals, cfg.output_dir)
                 return None
             if cfg.dataset == "vcoco":
-                raise NotImplementedError(
-                    "V-COCO mAP uses the official toolkit on cache.pkl; "
-                    "run with --cache true (reference parity: "
-                    "main_tip_finetune.py:912)")
+                # Beyond reference parity: main_tip_finetune.py:912 raises
+                # here and defers to the official toolkit on cache.pkl; we
+                # evaluate the vsrl role AP in-repo (eval/vcoco_ap.py).
+                if multi:
+                    raise NotImplementedError(
+                        "V-COCO role AP consumes per-image result dicts; "
+                        "run eval single-process (the reference only "
+                        "caches, and on rank 0 only)")
+                report = evaluate_vcoco(run_batches(), test_factory.dataset,
+                                        model_cfg.upt.proposals)
+                for k in ("role_ap_scenario_1", "role_ap_scenario_2",
+                          "agent_ap"):
+                    print(f"{k}: mean AP "
+                          f"{report[k]['mean'] * 100:.2f}")
+                return report
             result = evaluate_hico(
                 run_batches(), test_factory.dataset, cfg.num_classes,
                 model_cfg.upt.proposals,

@@ -181,8 +181,10 @@ class _VcocoResult(defaultdict):
         return 0.0 if k.endswith("_agent") else [0.0, 0.0, 0.1, 0.1, 0.0]
 
 
-def cache_vcoco(run_batches, dataset, proposal_cfg, cache_dir: str):
-    """Official V-COCO pickle dump (cache_vcoco, :494-540)."""
+def collect_vcoco_results(run_batches, dataset, proposal_cfg):
+    """Detections in the official V-COCO cache format (CacheTemplate
+    entries, utils...py:494-540) as an in-memory list — shared by the
+    ``cache.pkl`` dump and the in-repo role-AP evaluation."""
     px, py = (np.asarray(x) for x in pair_indices(proposal_cfg))
     all_results = []
     for outputs, batch in run_batches:
@@ -207,6 +209,26 @@ def cache_vcoco(run_batches, dataset, proposal_cfg, cache_dir: str):
                 r[name[0] + "_agent"] = float(s)
                 r["_".join(name)] = bo.tolist() + [float(s)]
                 all_results.append(r)
+    return all_results
+
+
+def cache_vcoco(run_batches, dataset, proposal_cfg, cache_dir: str):
+    """Official V-COCO pickle dump (cache_vcoco, :494-540)."""
+    all_results = collect_vcoco_results(run_batches, dataset, proposal_cfg)
     os.makedirs(cache_dir, exist_ok=True)
     with open(os.path.join(cache_dir, "cache.pkl"), "wb") as f:
         pickle.dump(all_results, f, 2)
+    return all_results
+
+
+def evaluate_vcoco(run_batches, dataset, proposal_cfg,
+                   cache_dir: Optional[str] = None):
+    """In-repo V-COCO role/agent AP (beyond reference parity: the
+    reference only dumps cache.pkl for the official toolkit,
+    main_tip_finetune.py:912). Optionally also writes the pickle."""
+    from ..eval.vcoco_ap import evaluate_vcoco_results
+    if cache_dir is not None:
+        results = cache_vcoco(run_batches, dataset, proposal_cfg, cache_dir)
+    else:
+        results = collect_vcoco_results(run_batches, dataset, proposal_cfg)
+    return evaluate_vcoco_results(results, dataset)

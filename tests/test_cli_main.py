@@ -422,3 +422,70 @@ def test_mismatched_global_cache_ignored(tiny_dataset, tmp_path,
         num_classes=117, dino=False, generate_feature=False, max_gt_pairs=4,
         devices=1, epochs=1, seed=3, sanity=True))
     assert "different class/shot layout" in capsys.readouterr().out
+
+
+@pytest.fixture(scope="module")
+def tiny_vcoco(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp("tiny_vcoco")
+    rng = np.random.default_rng(2)
+    actions = [f"verb{i} obj" for i in range(24)]
+    objects = ["background"] + [f"obj{i}" for i in range(80)]
+    for part, img_dir_name, n in (("trainval", "train2014", 4),
+                                  ("test", "val2014", 4)):
+        img_dir = root / "images" / img_dir_name
+        img_dir.mkdir(parents=True, exist_ok=True)
+        prefix = f"COCO_{img_dir_name}"
+        annos, images = [], []
+        for i in range(n):
+            w, h = 64, 48
+            name = f"{prefix}_{i:012d}.jpg"
+            Image.fromarray(rng.integers(0, 255, (h, w, 3),
+                                         dtype=np.uint8)).save(img_dir / name)
+            k = int(rng.integers(1, 3))
+            annos.append({"boxes_h": [[2, 2, 30, 30]] * k,
+                          "boxes_o": [[5, 5, 40, 40]] * k,
+                          "actions": rng.integers(0, 24, k).tolist(),
+                          "objects": rng.integers(1, 81, k).tolist(),
+                          "file_name": name})
+            images.append(1000 + i)
+        inst = {"annotations": annos, "classes": actions, "objects": objects,
+                "images": images,
+                "action_to_object": [[1] for _ in range(24)]}
+        json.dump(inst, open(root / f"instances_vcoco_{part}.json", "w"))
+    return str(root)
+
+
+def test_vcoco_eval_cli(tiny_vcoco, tmp_path, monkeypatch, capsys):
+    """--dataset vcoco --eval prints the in-repo role AP (the reference
+    raises NotImplementedError here, main_tip_finetune.py:912)."""
+    import functools
+    import hoigen_tpu.data.factory as factory_mod
+    import hoigen_tpu.cli.main_finetune as mf
+    from hoigen_tpu.data import DataFactory
+    from hoigen_tpu.utils.config import RunConfig
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(mf, "make_model_config", _tiny_model_config)
+    monkeypatch.setattr(
+        mf, "DataFactory",
+        functools.partial(DataFactory, clip_resolution=32,
+                          transform_kwargs=dict(
+                              eval_min_side=48, max_side=80,
+                              train_scales=(40, 48, 56),
+                              crop_resize_choices=(56, 64),
+                              crop_range=(32, 64))))
+    monkeypatch.setattr(factory_mod, "DEFAULT_BUCKETS",
+                        ((56, 80), (80, 56), (80, 80)))
+
+    out = str(tmp_path / "vcoco_out")
+    report = mf.main(RunConfig(
+        dataset="vcoco", partitions=["trainval", "test"],
+        data_root=tiny_vcoco, output_dir=out, batch_size=2, num_workers=0,
+        num_classes=24, dino=False, generate_feature=False, max_gt_pairs=4,
+        devices=1, epochs=1, seed=3, eval=True))
+    assert set(report) == {"role_ap_scenario_1", "role_ap_scenario_2",
+                           "agent_ap"}
+    for k in report:
+        assert 0.0 <= report[k]["mean"] <= 1.0
+    assert "role_ap_scenario_1: mean AP" in capsys.readouterr().out
