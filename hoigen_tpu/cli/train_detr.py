@@ -156,7 +156,7 @@ def main(argv=None):
     # fused encoder attention is inference-only (no VJP); training
     # differentiates through the encoder, so keep the XLA path
     cfg = DETRConfig(num_classes=81, fused_encoder_attention=False,
-                     remat_backbone=True)
+                     fused_resnet_tail=(), remat_backbone=True)
     if args.pretrained and os.path.exists(args.pretrained):
         import dataclasses
         import torch
@@ -166,6 +166,7 @@ def main(argv=None):
         sd = ckpt.get("model", ckpt.get("model_state_dict", ckpt))
         params, cfg = torch_detr_state_dict_to_params(sd)
         cfg = dataclasses.replace(cfg, fused_encoder_attention=False,
+                                  fused_resnet_tail=(),
                                   remat_backbone=True)
         print(f"[load] {args.pretrained}")
     else:

@@ -21,6 +21,14 @@ class DETRConfig:
     # 1.8ms/layer vs 2.7ms for XLA's fusion, after blocking over all heads
     # at once to keep DMAs contiguous (see ops/attention.py docstring).
     fused_encoder_attention: bool = True
+    # residual layers whose stride-1 tail blocks run the Pallas fused
+    # bottleneck-chain kernel (ops/fused_resnet.py). Layer1's wide
+    # (C=256 at stride 4) activation makes XLA's 3-passes-per-block
+    # pattern most expensive there: measured 16.8 -> 11.4 ms at the eval
+    # bucket; layer2 is at parity, layers 3-4 MXU-bound. Inference/frozen-
+    # backbone only (no VJP) — gated on TPU + bf16 + not remat_backbone,
+    # and cli/train_detr.py (which differentiates the backbone) clears it.
+    fused_resnet_tail: tuple = (0,)
     # rematerialize backbone blocks in backward (jax.checkpoint) — the
     # offline DETR finetune needs it to fit full-backbone training in HBM
     # at the large buckets; the HOI pipeline runs the backbone frozen and

@@ -162,9 +162,13 @@ def detr_forward(params, images, image_mask, cfg: DETRConfig):
     # throughput-neutral (XLA already relayouts the NCHW form), but it is
     # the layout ops/fused_resnet.py requires, and the C5 tensor reshapes
     # straight into the (B, HW, C) sequence the transformer wants
+    fused_tail = cfg.fused_resnet_tail if (
+        jax.default_backend() == "tpu" and images.dtype == jnp.bfloat16
+        and not cfg.remat_backbone) else ()
     feat = resnet50_forward_nhwc(params["backbone"],
                                  jnp.transpose(images, (0, 2, 3, 1)),
-                                 remat=cfg.remat_backbone)
+                                 remat=cfg.remat_backbone,
+                                 fused_tail=fused_tail)
     b, fh, fw, c = feat.shape
     fmask = downsample_mask(image_mask, fh, fw)
     pos = sine_position_embedding(fmask, cfg.hidden_dim // 2)

@@ -142,19 +142,35 @@ def _bottleneck_nhwc(x, p, stride):
     return jax.nn.relu(out + identity)
 
 
-def resnet50_forward_nhwc(params, x, remat=False):
+def resnet50_forward_nhwc(params, x, remat=False, fused_tail=(),
+                          interpret=False):
     """x: (B, H, W, 3) -> C5 (B, H/32, W/32, 2048): the NCHW tower's math
     in XLA-TPU's native conv layout (channels minor = lane dimension), so
     no boundary transposes/relayouts between fused regions. Same params
-    (OIHW weights transposed at trace time)."""
+    (OIHW weights transposed at trace time).
+
+    ``fused_tail``: residual-layer indices whose stride-1 tail blocks run
+    through the Pallas bottleneck-chain kernel (ops/fused_resnet.py; the
+    wide activation is read/written once per chain instead of ~3x per
+    block). Inference-only (no VJP; the HOI pipeline's backbone is frozen
+    with no trainable params upstream, so the train step may use it too —
+    cli/train_detr.py, which trains the backbone, must not). Measured on
+    v5e at batch 16 / 800x1344 bf16: layer1 16.8 -> 11.4 ms; layer2 at
+    parity with XLA; layers 3-4 are MXU-bound so fusion buys nothing —
+    hence the default recommendation (0,) via DETRConfig."""
     x = _conv_bn_nhwc(x, params["stem"], stride=2, padding=3)
     x = _max_pool_3x3_s2_nhwc(x)
     block = jax.checkpoint(_bottleneck_nhwc, static_argnums=(2,)) if remat \
         else _bottleneck_nhwc
     for li, blocks in enumerate(params["layers"]):
         stride = 1 if li == 0 else 2
-        for bi, bp in enumerate(blocks):
-            x = block(x, bp, stride if bi == 0 else 1)
+        if li in fused_tail and len(blocks) > 1 and not remat:
+            from ...ops.fused_resnet import fused_bottleneck_chain
+            x = block(x, blocks[0], stride)
+            x = fused_bottleneck_chain(x, blocks[1:], interpret=interpret)
+        else:
+            for bi, bp in enumerate(blocks):
+                x = block(x, bp, stride if bi == 0 else 1)
     return x
 
 

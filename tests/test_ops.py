@@ -379,3 +379,21 @@ def test_resnet_stem_s2d_forward_parity():
     a = np.asarray(resnet50_forward(p, x, stem_s2d=False))
     b = np.asarray(resnet50_forward(p, x, stem_s2d=True))
     np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
+
+
+def test_resnet_fused_tail_parity():
+    """The Pallas fused bottleneck-chain tail (interpret mode) == the
+    unfused NHWC tower, all four residual layers fused."""
+    import jax
+    from hoigen_tpu.models.detr.resnet import (init_resnet50_params,
+                                               resnet50_forward_nhwc)
+
+    rng = np.random.default_rng(3)
+    p = init_resnet50_params(jax.random.PRNGKey(0))
+    x = np.asarray(rng.normal(size=(1, 64, 96, 3)), np.float32)
+    a = np.asarray(resnet50_forward_nhwc(p, x))
+    b = np.asarray(resnet50_forward_nhwc(p, x, fused_tail=(0, 1, 2, 3),
+                                         interpret=True))
+    # GEMM-order noise accumulates over 16 chained blocks; production runs
+    # bf16 and mAP-level agreement is gated by the e2e parity harness
+    np.testing.assert_allclose(a, b, atol=1e-2, rtol=5e-3)

@@ -94,9 +94,11 @@ def main():
         t_f = timeit(jax.jit(
             lambda v: fused_bottleneck_chain(v, blocks, args.row_tile)), x)
         gb = 2 * x.size * x.dtype.itemsize / 1e9
+        flops = 2 * K * args.batch * H * W * (2 * C * M + 9 * M * M)
         print(f"L{li} (K={K}, {H}x{W}x{C}, M={M}): "
               f"xla {t_x*1e3:.2f} ms | fused {t_f*1e3:.2f} ms "
-              f"({t_x/t_f:.2f}x) | dma-roofline {gb/0.372*1e3:.2f} ms")
+              f"({t_x/t_f:.2f}x) | dma {gb/0.372:.2f} ms "
+              f"mxu {flops/103e12*1e3:.2f} ms")
 
 
 if __name__ == "__main__":
