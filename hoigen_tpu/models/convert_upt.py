@@ -132,6 +132,28 @@ def reference_head_to_params(head_sd, counts, num_shot, cache_model,
     if "dino_cache_logit" in sd:
         params["dino_cache_logit"] = jnp.asarray(sd["dino_cache_logit"])
 
+    # optional branches (upt_tip...py:525,595-604): learnable prior
+    # (prior_method 2), Weight_Pred, mlp_proj, obj-affordance attention
+    if "learnable_prior" in sd:
+        params["learnable_prior"] = jnp.asarray(sd["learnable_prior"])
+    for ref_stem, ours, n in (("weight_pred.linear1", "weight_pred_1", 2),
+                              ("weight_pred.linear2", "weight_pred_2", 2),
+                              ("mlp_proj", "mlp_proj", 3)):
+        if f"{ref_stem}.layers.0.weight" in sd:
+            params[ours] = [
+                {"w": jnp.asarray(sd[f"{ref_stem}.layers.{i}.weight"]),
+                 "b": jnp.asarray(sd[f"{ref_stem}.layers.{i}.bias"])}
+                for i in range(n)]
+    if "obj_affordance_query" in sd:
+        params["obj_affordance_query"] = jnp.asarray(
+            sd["obj_affordance_query"])
+        params["obj_affordance_attn"] = {
+            "w_qkv": jnp.asarray(sd["obj_affordance_learner.in_proj_weight"]),
+            "b_qkv": jnp.asarray(sd["obj_affordance_learner.in_proj_bias"]),
+            "w_out": jnp.asarray(sd["obj_affordance_learner.out_proj.weight"]),
+            "b_out": jnp.asarray(sd["obj_affordance_learner.out_proj.bias"]),
+        }
+
     if buffers is not None:
         # cache value matrices (multi-hot labels) travel with the ckpt too
         label_keys = ({"one_hots_HO": "label_HO", "one_hots_U": "label_U"}

@@ -100,12 +100,23 @@ class UPTConfig:
             raise ValueError(f"prior_method must be 0 (instance-wise), "
                              f"1 (pair-wise) or 2 (learnable), got "
                              f"{self.prior_method}")
+        if self.use_weight_pred and self.cache_model == "gen_feat":
+            raise ValueError(
+                "use_weight_pred requires cache_model='cache_feat': the "
+                "reference's gen_feat formula reads logits_cache_HO, which "
+                "gen_feat never defines -> UnboundLocalError "
+                "(upt_tip...py:1172-1174); verified by "
+                "tests/test_full_model_parity.py")
 
     @property
     def priors_initial_dim(self) -> int:
-        # the reference uses a FIXED visual_output_dim+5 feature width for
-        # every prior_type (upt_tip...py:469): narrower types zero-pad the
-        # tail of the same 517-d tensor (:1470-1494), so one MLP serves all
+        # fixed visual_output_dim+5 feature width for every prior_type,
+        # with narrower types zero-padding the tail (the reference's
+        # preallocated ``priors`` buffer, :1447-1494). NB upstream this
+        # width is only ever SET for prior_type='cbe' (:468-469) — any
+        # other type crashes at :520/:1447 with AttributeError, so non-cbe
+        # types are functional here but dead in the reference (verified by
+        # tests/test_full_model_parity.py::test_ref_non_cbe_prior_broken)
         return self.visual_output_dim + 5
 
     @property

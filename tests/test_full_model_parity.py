@@ -99,7 +99,8 @@ def _synthetic_pkl(tmp_path):
 
 
 class _Args:
-    def __init__(self, cache_model, generate_feature, evaluate, file1):
+    def __init__(self, cache_model, generate_feature, evaluate, file1,
+                 **overrides):
         self.generate_feature = generate_feature
         self.dataset = "hicodet"
         self.eval = evaluate
@@ -129,6 +130,10 @@ class _Args:
         self.LA = False
         self.LA_weight = 0.6
         self.box_proj = 0
+        self.vis_prompt_num = 8
+        for k, v in overrides.items():
+            assert hasattr(self, k), k
+            setattr(self, k, v)
 
 
 class _CannedDETR(torch.nn.Module):
@@ -190,7 +195,8 @@ def _pad_rows(ref, counts, num_shot=NUM_SHOT):
     return pad_ragged_rows(ref, counts, num_shot)
 
 
-def _build_ref(tmp_path, cache_model, generate_feature, evaluate):
+def _build_ref(tmp_path, cache_model, generate_feature, evaluate,
+               args_overrides=None, use_mlp_proj=False):
     ref = load_ref_upt()
     ref_clip_mod = sys.modules["CLIP_models_adapter_prior2"]
     torch.manual_seed(SEED)
@@ -225,7 +231,8 @@ def _build_ref(tmp_path, cache_model, generate_feature, evaluate):
     # the reference's own load_cache_model and flip the mode flag.
     init_cache_model = "gen_feat" if cache_model == "cache_feat" \
         else cache_model
-    args = _Args(init_cache_model, generate_feature, evaluate, file1)
+    args = _Args(init_cache_model, generate_feature, evaluate, file1,
+                 **(args_overrides or {}))
     model = ref.UPT(
         args, clip_keys, None, _DinoStub(dino_w), dino_keys, None,
         gen_feature, gen_target, gen_verb, HICO.object_to_verb,
@@ -239,7 +246,20 @@ def _build_ref(tmp_path, cache_model, generate_feature, evaluate):
         object_class_to_target_class=HICO.object_to_verb,
         object_n_verb_to_interaction=HICO.object_n_verb_to_interaction,
         num_anno=torch.ones(C),
-        use_mlp_proj=False)
+        use_mlp_proj=use_mlp_proj)
+    if args.obj_affordance:
+        # the reference hardcodes embed_dim=512 for the affordance
+        # attention (:600) while the query is visual_output_dim-sized —
+        # at tiny dims that construction cannot run; rebuild it at D with
+        # the same semantics before transplanting
+        torch.manual_seed(SEED + 5)
+        model.obj_affordance_learner = torch.nn.MultiheadAttention(
+            embed_dim=D, num_heads=1, dropout=0.3, batch_first=True)
+    if use_mlp_proj:
+        # same tiny-dims rebuild: the reference hardcodes MLP(512,512,512)
+        # (:604) == visual_output_dim at production scale
+        torch.manual_seed(SEED + 6)
+        model.mlp_proj = ref.MLP(D, D, D, 3)
     if cache_model == "cache_feat":
         import math
         ho, one_hots_ho, lens_ho, _, _ = model.load_cache_model(
@@ -268,7 +288,7 @@ def _build_ref(tmp_path, cache_model, generate_feature, evaluate):
     return model, extras
 
 
-def _build_mine(ref_model, extras, cache_model):
+def _build_mine(ref_model, extras, cache_model, cfg_overrides=None):
     counts = extras["counts"]
     clip_params, clip_cfg = torch_state_dict_to_params(
         {k: v for k, v in extras["clip_model"].state_dict().items()},
@@ -299,7 +319,8 @@ def _build_mine(ref_model, extras, cache_model):
                     dino_dim=DINO_D, clip_resolution=RES,
                     cache_model=cache_model, use_dino=True,
                     use_clip_global=True,
-                    proposals=ProposalConfig(max_instances=8))
+                    proposals=ProposalConfig(max_instances=8),
+                    **(cfg_overrides or {}))
     params, buffers = init_upt_params(jax.random.PRNGKey(0), cfg, caches,
                                       clip_params)
     # transplant every UPT-head weight through the PRODUCTION importer —
@@ -476,3 +497,65 @@ def test_load_reference_checkpoint_head_only(tmp_path):
     assert oh.shape == (C * S, C)
     np.testing.assert_allclose(np.asarray(buffers["sample_lens_U"]),
                                np.maximum(oh.sum(0), 1e-8))
+
+
+# --------------------------------------------------------------------------
+# optional branches, same transplant machinery (VERDICT r2 item 5):
+# reference anchors upt_tip...py:54-64 (Weight_Pred), :525 (learnable
+# prior), :598-604 (obj affordance / mlp_proj), :1445-1539 (get_prior)
+# --------------------------------------------------------------------------
+# case -> (args overrides, use_mlp_proj kwarg, my cfg overrides,
+#          (cache_model, generate_feature)). use_weight_pred only works
+# with cache_feat upstream: the gen_feat formula at :1172-1174 reads
+# logits_cache_HO, which gen_feat never defines -> UnboundLocalError.
+_BRANCH_CASES = {
+    "weight_pred": (dict(use_weight_pred=True), False,
+                    dict(use_weight_pred=True), ("cache_feat", True)),
+    "mlp_proj": (dict(), True, dict(use_mlp_proj=True),
+                 ("gen_feat", False)),
+    "obj_affordance": (dict(obj_affordance=True), False,
+                       dict(obj_affordance=True), ("gen_feat", False)),
+    "prior_method_1": (dict(prior_method=1), False, dict(prior_method=1),
+                       ("gen_feat", False)),
+    "prior_method_2": (dict(prior_method=2), False,
+                       dict(prior_method=2, vis_prompt_num=8),
+                       ("gen_feat", False)),
+}
+
+
+@pytest.mark.parametrize("case", sorted(_BRANCH_CASES))
+def test_eval_parity_optional_branches(tmp_path, case):
+    args_ov, use_mlp_proj, cfg_ov, (cache_model, gen) = _BRANCH_CASES[case]
+    ref_model, extras = _build_ref(str(tmp_path), cache_model,
+                                   generate_feature=gen, evaluate=True,
+                                   args_overrides=args_ov,
+                                   use_mlp_proj=use_mlp_proj)
+    cfg, clip_cfg, params, buffers, dino_w = _build_mine(
+        ref_model, extras, cache_model, cfg_overrides=cfg_ov)
+    rng = np.random.default_rng(SEED + 3)
+    images_clip = rng.normal(0, 1, (B, 3, RES, RES)).astype(np.float32)
+    imgs = [(torch.as_tensor(images_clip[i]),
+             torch.as_tensor(images_clip[i])) for i in range(B)]
+    with torch.no_grad():
+        ref_dets = ref_model(imgs)
+    mine = _run_mine(cfg, clip_cfg, params, buffers, dino_w, images_clip)
+    _compare_eval(ref_dets, mine, cfg.proposals)
+
+
+def test_ref_non_cbe_prior_broken(tmp_path):
+    """Upstream, priors_initial_dim is only set for prior_type='cbe'
+    (:468-469); every other type crashes constructing priors_downproj
+    (:520). Our implementation makes them functional
+    (tests/test_prompts_priors.py) — this pins the upstream breakage the
+    beyond-parity claim rests on."""
+    with pytest.raises(AttributeError, match="priors_initial_dim"):
+        _build_ref(str(tmp_path), "gen_feat", generate_feature=False,
+                   evaluate=True, args_overrides=dict(prior_type="cb"))
+
+
+def test_weight_pred_gen_feat_rejected():
+    """use_weight_pred + gen_feat is rejected with the upstream citation
+    (UnboundLocalError at upt_tip...py:1172-1174)."""
+    with pytest.raises(ValueError, match="use_weight_pred"):
+        UPTConfig(num_classes=C, use_weight_pred=True,
+                  cache_model="gen_feat")
