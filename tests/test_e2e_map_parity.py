@@ -379,6 +379,16 @@ def harness(tmp_path_factory):
         dataset="hicodet"))
     ap_ref = np.asarray(ap_ref, np.float64)
 
+    # tear down the single-process gloo group make_engine created: a live
+    # group flips dist.is_initialized() for the rest of the pytest process
+    # and sends the reference's train forward down its distributed branch,
+    # which hardcodes device='cuda' (upt_tip...py:1338-1340) — that broke
+    # test_full_model_parity::test_train_loss_parity when run after this
+    # module.
+    import torch.distributed as dist
+    if dist.is_initialized():
+        dist.destroy_process_group()
+
     return {"root": root, "tmp": str(tmp), "pkl": pkl_path,
             "clip_path": clip_path, "ref_pt": ref_pt, "ap_ref": ap_ref,
             "canned": (logits, boxes),
