@@ -1,6 +1,6 @@
 """CLIP architecture configuration."""
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -10,6 +10,12 @@ class CLIPConfig:
     vision_layers: int = 12
     vision_width: int = 768
     vision_patch_size: int = 16
+    # ModifiedResNet visual tower: per-stage block counts; None = ViT
+    # (build_model dispatches on `visual.proj` presence,
+    # CLIP_models_adapter_prior2.py:934-945). For RN variants
+    # vision_width is the stem width (64 for RN50) and vision_patch_size
+    # is fixed at 32 (the tower's total stride) so grid_size holds.
+    rn_layers: Optional[Tuple[int, int, int, int]] = None
     context_length: int = 77
     vocab_size: int = 49408
     transformer_width: int = 512
@@ -24,7 +30,14 @@ class CLIPConfig:
     adapter_dropout: float = 0.1
 
     @property
+    def is_resnet(self) -> bool:
+        return self.rn_layers is not None
+
+    @property
     def vision_heads(self) -> int:
+        # RN: heads over the attnpool embed dim = width*32 (:693-694)
+        if self.is_resnet:
+            return self.vision_width * 32 // 64
         return self.vision_width // 64
 
     @property

@@ -29,6 +29,31 @@ def _np(t):
 def infer_config(sd, use_adapter=True, adapter_pos="all",
                  adapter_num_layers=1) -> CLIPConfig:
     """Infer architecture from a state dict (build_model :934-957)."""
+    if "visual.proj" not in sd:  # RN variant (:937,:943-945)
+        counts = tuple(
+            len({k.split(".")[2] for k in sd
+                 if k.startswith(f"visual.layer{b}.")}) for b in (1, 2, 3, 4))
+        out_width = round(
+            (_np(sd["visual.attnpool.positional_embedding"]).shape[0] - 1)
+            ** 0.5)
+        tw = _np(sd["ln_final.weight"]).shape[0]
+        return CLIPConfig(
+            embed_dim=_np(sd["text_projection"]).shape[1],
+            image_resolution=out_width * 32,
+            vision_layers=sum(counts),
+            vision_width=_np(sd["visual.layer1.0.conv1.weight"]).shape[0],
+            vision_patch_size=32,
+            rn_layers=counts,
+            context_length=_np(sd["positional_embedding"]).shape[0],
+            vocab_size=_np(sd["token_embedding.weight"]).shape[0],
+            transformer_width=tw,
+            transformer_heads=tw // 64,
+            transformer_layers=len({k.split(".")[2] for k in sd
+                                    if k.startswith("transformer.resblocks")}),
+            use_adapter=False,  # ModifiedResNet has no adapters (:311-420)
+            adapter_layers=(),
+            adapter_num_layers=adapter_num_layers,
+        )
     vision_width = _np(sd["visual.conv1.weight"]).shape[0]
     vision_layers = len([k for k in sd if k.startswith("visual.")
                          and k.endswith(".attn.in_proj_weight")])
@@ -149,6 +174,57 @@ def _block(sd, prefix, cfg, has_adapter, rng):
     return p
 
 
+def _fold_bn(sd, conv_prefix, bn_prefix, eps=1e-5):
+    """Frozen BatchNorm2d folded into a post-conv (scale, bias); the RN
+    tower only ever runs from checkpoint running stats (no adapters inside
+    ModifiedResNet, so nothing there trains)."""
+    w = _np(sd[conv_prefix + ".weight"])
+    g = _np(sd[bn_prefix + ".weight"])
+    b = _np(sd[bn_prefix + ".bias"])
+    mean = _np(sd[bn_prefix + ".running_mean"])
+    var = _np(sd[bn_prefix + ".running_var"])
+    scale = g / np.sqrt(var + eps)
+    return {"w": jnp.asarray(w), "scale": jnp.asarray(scale),
+            "bias": jnp.asarray(b - mean * scale)}
+
+
+def _rn_visual(sd, cfg: CLIPConfig, prefix="visual."):
+    """ModifiedResNet weights (:311-420) -> resnet.py pytree, BN folded.
+    Reproduces the attnpool pos-embed bilinear resize applied on load when
+    the target resolution differs (init_weights :352-370)."""
+    p = {"stem1": _fold_bn(sd, prefix + "conv1", prefix + "bn1"),
+         "stem2": _fold_bn(sd, prefix + "conv2", prefix + "bn2"),
+         "stem3": _fold_bn(sd, prefix + "conv3", prefix + "bn3"),
+         "layers": []}
+    for li, n_blocks in enumerate(cfg.rn_layers):
+        blocks = []
+        for bi in range(n_blocks):
+            bp = f"{prefix}layer{li + 1}.{bi}."
+            blk = {"conv1": _fold_bn(sd, bp + "conv1", bp + "bn1"),
+                   "conv2": _fold_bn(sd, bp + "conv2", bp + "bn2"),
+                   "conv3": _fold_bn(sd, bp + "conv3", bp + "bn3")}
+            if bp + "downsample.0.weight" in sd:
+                blk["down"] = _fold_bn(sd, bp + "downsample.0",
+                                       bp + "downsample.1")
+            blocks.append(blk)
+        p["layers"].append(blocks)
+    ap = prefix + "attnpool."
+    pos = _np(sd[ap + "positional_embedding"])
+    pos = interpolate_pos_embedding(pos, (cfg.image_resolution // 32) ** 2 + 1)
+    p["attnpool"] = {
+        "pos": jnp.asarray(pos),
+        "q_w": jnp.asarray(_np(sd[ap + "q_proj.weight"])),
+        "q_b": jnp.asarray(_np(sd[ap + "q_proj.bias"])),
+        "k_w": jnp.asarray(_np(sd[ap + "k_proj.weight"])),
+        "k_b": jnp.asarray(_np(sd[ap + "k_proj.bias"])),
+        "v_w": jnp.asarray(_np(sd[ap + "v_proj.weight"])),
+        "v_b": jnp.asarray(_np(sd[ap + "v_proj.bias"])),
+        "c_w": jnp.asarray(_np(sd[ap + "c_proj.weight"])),
+        "c_b": jnp.asarray(_np(sd[ap + "c_proj.bias"])),
+    }
+    return p
+
+
 def torch_state_dict_to_params(sd, cfg: CLIPConfig = None, use_adapter=True,
                                adapter_pos="all", adapter_num_layers=1,
                                rng=None):
@@ -158,6 +234,20 @@ def torch_state_dict_to_params(sd, cfg: CLIPConfig = None, use_adapter=True,
     if cfg is None:
         cfg = inferred
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    if cfg.is_resnet:
+        visual = _rn_visual(sd, cfg)
+        text = {
+            "token_embedding": jnp.asarray(_np(sd["token_embedding.weight"])),
+            "positional_embedding": jnp.asarray(_np(sd["positional_embedding"])),
+            "blocks": [
+                _block(sd, f"transformer.resblocks.{i}", cfg, False, rng)
+                for i in range(cfg.transformer_layers)],
+            "ln_final": _ln(sd, "ln_final"),
+            "text_projection": jnp.asarray(_np(sd["text_projection"])),
+        }
+        return {"visual": visual, "text": text,
+                "logit_scale": jnp.asarray(_np(sd["logit_scale"]))}, cfg
 
     pos = _np(sd["visual.positional_embedding"])
     pos = interpolate_pos_embedding(pos, cfg.grid_size ** 2 + 1)

@@ -153,7 +153,20 @@ def encode_image(params, images, cfg: CLIPConfig, prior=None,
     VisionTransformer.forward (:489-506): ln_post and the projection are
     applied to every token; CLS is the global feature, the rest form the
     local grid.
+
+    RN-variant checkpoints (cfg.rn_layers set) route to the ModifiedResNet
+    tower instead; it has no instance adapters in the reference
+    (CLIP_models_adapter_prior2.py:311-420), so priors are rejected.
     """
+    if cfg.is_resnet:
+        if prior is not None:
+            raise ValueError(
+                "ModifiedResNet CLIP towers have no instance adapters "
+                "(CLIP_models_adapter_prior2.py:311-420); prior must be "
+                "None")
+        from .resnet import modified_resnet_forward
+        return modified_resnet_forward(params["visual"], images,
+                                       cfg.vision_heads)
     p = params["visual"]
     x = _patch_embed(images, p["conv1_w"])
     b, n_patch, width = x.shape

@@ -200,6 +200,74 @@ def test_pos_embed_interpolation():
     np.testing.assert_allclose(ours[0], pos[0])
 
 
+# ---------------------------------------------------------------------------
+# ModifiedResNet (RN-variant) visual tower
+# (CLIP_models_adapter_prior2.py:205-420, build path :694,:796)
+# ---------------------------------------------------------------------------
+RN_W, RN_RES = 8, 64  # attnpool embed 8*32=256, 4 heads, spacial dim 2
+
+
+@pytest.fixture(scope="module")
+def rn_tower(ref_clip):
+    torch.manual_seed(11)
+    rn = ref_clip.ModifiedResNet(layers=(1, 1, 1, 1), output_dim=EMB,
+                                 heads=RN_W * 32 // 64,
+                                 input_resolution=RN_RES, width=RN_W)
+    # non-trivial BN running stats so the conversion-time folding is tested
+    with torch.no_grad():
+        for m in rn.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+    return rn.float().eval()
+
+
+def test_modified_resnet_parity(rn_tower):
+    from hoigen_tpu.models.clip import encode_image as enc
+    # full RN-CLIP state dict: the RN visual tower + the tiny text stack
+    sd = {"visual." + k: v for k, v in rn_tower.state_dict().items()}
+    for k, v in _tiny_state_dict(2).items():
+        if not k.startswith("visual."):
+            sd[k] = v
+    params, cfg = torch_state_dict_to_params(sd)
+    assert cfg.is_resnet and cfg.rn_layers == (1, 1, 1, 1)
+    assert cfg.image_resolution == RN_RES and cfg.vision_width == RN_W
+    assert cfg.vision_heads == RN_W * 32 // 64 and cfg.embed_dim == EMB
+    rng = np.random.default_rng(6)
+    images = rng.normal(size=(2, 3, RN_RES, RN_RES)).astype(np.float32)
+    with torch.no_grad():
+        g_ref, l_ref = rn_tower(torch.from_numpy(images))
+    g, local = enc(params, jnp.asarray(images), cfg)
+    np.testing.assert_allclose(np.asarray(g), g_ref.numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(local).transpose(0, 3, 1, 2),
+                               l_ref.numpy(), atol=3e-5)
+
+
+def test_modified_resnet_rejects_priors(rn_tower):
+    from hoigen_tpu.models.clip import encode_image as enc
+    sd = {"visual." + k: v for k, v in rn_tower.state_dict().items()}
+    for k, v in _tiny_state_dict(2).items():
+        if not k.startswith("visual."):
+            sd[k] = v
+    params, cfg = torch_state_dict_to_params(sd)
+    with pytest.raises(ValueError, match="no instance adapters"):
+        enc(params, jnp.zeros((1, 3, RN_RES, RN_RES)), cfg,
+            prior=jnp.zeros((1, 2, 64)))
+
+
+def test_modified_resnet_random_init_forward():
+    from hoigen_tpu.models.clip.resnet import (init_modified_resnet_params,
+                                               modified_resnet_forward)
+    p = init_modified_resnet_params(jax.random.PRNGKey(0), (1, 1, 1, 1),
+                                    RN_W, EMB, RN_RES // 32)
+    g, local = modified_resnet_forward(
+        p, jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 3, RN_RES, RN_RES)).astype(np.float32)),
+        RN_W * 32 // 64)
+    assert g.shape == (2, EMB) and local.shape == (2, 2, 2, EMB)
+    assert bool(jnp.isfinite(g).all()) and bool(jnp.isfinite(local).all())
+
+
 def test_tokenizer_matches_reference():
     # load the reference tokenizer straight from its file (bypassing the
     # CLIP package, which needs torchvision). It imports ftfy — stub with
