@@ -294,8 +294,8 @@ def batches_from_factory(factory, batch_size, cfg, mesh=None, shuffle=True,
     repeating its last sample (single jit shape for eval) and
     ``Batch.n_real`` records the true length."""
 
-    def collate(samples):
-        batch = collate_batch(samples, cfg.max_gt_pairs)
+    def collate(samples, pad_hw=None):
+        batch = collate_batch(samples, cfg.max_gt_pairs, pad_hw=pad_hw)
         # 600-class training associates pairs against interaction ids, not
         # verbs (reference targets['hoi'], upt_tip...py:1292-1293)
         cls_ids = batch.hoi if cfg.num_classes == 600 else batch.labels
@@ -318,9 +318,17 @@ def batches_from_factory(factory, batch_size, cfg, mesh=None, shuffle=True,
         return shard_batch(mesh, d), batch
 
     if multi:
-        # every process walks the same global stream, loading only its rows
-        idx_batches = local_batch_indices(len(factory), batch_size, shuffle,
-                                          seed, pad_tail=pad_tail)
+        # every process walks the same global stream, loading only its
+        # rows. The padded image shape is computed over the GLOBAL batch
+        # from size metadata (factory.padded_hw replays the stateless
+        # per-sample transform plan), because a locally-chosen bucket
+        # would diverge across ranks and the global array requires one
+        # shape on every process.
+        idx_batches = [
+            (lidx, n_real, {"pad_hw": factory.padded_hw(gidx)})
+            for gidx, lidx, n_real in local_batch_indices(
+                len(factory), batch_size, shuffle, seed,
+                pad_tail=pad_tail, return_global=True)]
     else:
         idx_batches = batch_indices(len(factory), batch_size, shuffle, seed,
                                     pad_tail=pad_tail)
@@ -341,7 +349,8 @@ def main(cfg: RunConfig):
     rng = jax.random.PRNGKey(cfg.seed)
     model_cfg = make_model_config(cfg)
     os.makedirs(cfg.output_dir, exist_ok=True)
-    cfg.save(os.path.join(cfg.output_dir, "args.json"))
+    if jax.process_index() == 0:
+        cfg.save(os.path.join(cfg.output_dir, "args.json"))
 
     if cfg.dataset == "hicodet":
         cfg.partitions = ["train2015", "test2015"]

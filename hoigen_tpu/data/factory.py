@@ -93,6 +93,27 @@ class DataFactory:
         (DistributedSampler.set_epoch analog)."""
         self.epoch = epoch
 
+    def padded_hw(self, indices, buckets: Optional[Sequence] = None):
+        """Padded (Hb, Wb) for a batch of dataset rows, from size metadata
+        alone: replays each sample's stateless transform plan (same
+        (seed, epoch, index) rng as __getitem__) over the original sizes.
+        Every process computes the identical shape for a GLOBAL batch even
+        for rows it never loads — required by
+        make_array_from_process_local_data (same global shape per rank)."""
+        if buckets is None:
+            buckets = DEFAULT_BUCKETS   # module attribute: overridable
+        hb, wb = 0, 0
+        for i in indices:
+            idx = self.keep[int(i)]
+            w0, h0 = self.dataset.image_size(idx)
+            rng = np.random.default_rng(
+                (self.transform.seed, self.epoch, idx)) \
+                if self.training else None
+            oh, ow = self.transform.plan(int(w0), int(h0), rng=rng)["out_hw"]
+            bt = pick_bucket(oh, ow, buckets)
+            hb, wb = max(hb, bt[0]), max(wb, bt[1])
+        return hb, wb
+
     def __len__(self):
         return len(self.keep)
 
@@ -126,15 +147,24 @@ def pick_bucket(h, w, buckets: Sequence = DEFAULT_BUCKETS):
 
 def collate_batch(samples, max_gt_pairs: int = 32,
                   buckets: Optional[Sequence] = None,
-                  label_key: str = "labels") -> Batch:
-    """Pad a list of (detr_img, clip_img, target, idx) to fixed shapes."""
-    if buckets is None:
-        buckets = DEFAULT_BUCKETS   # module attribute: overridable
+                  label_key: str = "labels",
+                  pad_hw: Optional[Sequence] = None) -> Batch:
+    """Pad a list of (detr_img, clip_img, target, idx) to fixed shapes.
+
+    ``pad_hw`` forces the padded (Hb, Wb) — multi-process runs pass the
+    GLOBAL batch's shape (DataFactory.padded_hw) because each process
+    collates only its local rows and a locally-chosen bucket would diverge
+    across ranks."""
     b = len(samples)
-    hb, wb = (0, 0)
-    for img, _, _, _ in samples:
-        bt = pick_bucket(img.shape[1], img.shape[2], buckets)
-        hb, wb = max(hb, bt[0]), max(wb, bt[1])
+    if pad_hw is not None:
+        hb, wb = pad_hw
+    else:
+        if buckets is None:
+            buckets = DEFAULT_BUCKETS   # module attribute: overridable
+        hb, wb = (0, 0)
+        for img, _, _, _ in samples:
+            bt = pick_bucket(img.shape[1], img.shape[2], buckets)
+            hb, wb = max(hb, bt[0]), max(wb, bt[1])
     img_dtype = samples[0][0].dtype
     images = np.zeros((b, 3, hb, wb), img_dtype)
     mask = np.ones((b, hb, wb), bool)

@@ -62,10 +62,16 @@ def iter_batches(fetch: Callable[[int], object], batches,
     the fixed-shape batch; ``to_device`` (e.g. a sharded ``device_put``)
     runs on the producer thread so the transfer overlaps consumer compute.
     ``num_workers <= 0`` is the synchronous reference path.
+
+    Items may be ``(idx, n_real, meta)`` triples: ``meta`` is a kwargs dict
+    forwarded to ``collate`` (multi-process runs pass the global padded
+    shape this way).
     """
     if num_workers <= 0:
-        for idx, n_real in batches:
-            b = collate([fetch(int(i)) for i in idx])
+        for item in batches:
+            idx, n_real = item[0], item[1]
+            meta = item[2] if len(item) > 2 else {}
+            b = collate([fetch(int(i)) for i in idx], **meta)
             yield (to_device(b) if to_device else b), n_real
         return
 
@@ -76,8 +82,9 @@ def iter_batches(fetch: Callable[[int], object], batches,
     _END = object()
 
     def submit(item):
-        idx, n_real = item
-        return [ex.submit(fetch, int(i)) for i in idx], n_real
+        idx, n_real = item[0], item[1]
+        meta = item[2] if len(item) > 2 else {}
+        return [ex.submit(fetch, int(i)) for i in idx], n_real, meta
 
     def producer():
         try:
@@ -87,8 +94,8 @@ def iter_batches(fetch: Callable[[int], object], batches,
             pending = deque(submit(b) for b in
                             itertools.islice(it, max(prefetch, 1) + 1))
             while pending and not stop.is_set():
-                futs, n_real = pending.popleft()
-                b = collate([f.result() for f in futs])
+                futs, n_real, meta = pending.popleft()
+                b = collate([f.result() for f in futs], **meta)
                 if to_device is not None:
                     b = to_device(b)
                 while not stop.is_set():

@@ -37,14 +37,16 @@ def hflip(image, target):
     return image, out
 
 
-def color_jitter(image, rng, strength=0.4):
-    ops = [("brightness", ImageEnhance.Brightness),
-           ("contrast", ImageEnhance.Contrast),
-           ("saturation", ImageEnhance.Color)]
-    order = rng.permutation(len(ops))
+JITTER_OPS = (ImageEnhance.Brightness, ImageEnhance.Contrast,
+              ImageEnhance.Color)
+JITTER_STRENGTH = 0.4
+
+
+def color_jitter(image, rng, strength=JITTER_STRENGTH):
+    order = rng.permutation(len(JITTER_OPS))
     for i in order:
         factor = float(rng.uniform(1 - strength, 1 + strength))
-        image = ops[i][1](image).enhance(factor)
+        image = JITTER_OPS[i](image).enhance(factor)
     return image
 
 
@@ -79,13 +81,19 @@ def resize(image, target, size, max_size=None):
     return image, out
 
 
-def random_size_crop(image, target, rng, min_size=384, max_size=600):
-    w = int(rng.integers(min_size, min(image.width, max_size) + 1)) \
-        if image.width > min_size else image.width
-    h = int(rng.integers(min_size, min(image.height, max_size) + 1)) \
-        if image.height > min_size else image.height
-    i = int(rng.integers(0, image.height - h + 1))
-    j = int(rng.integers(0, image.width - w + 1))
+def _crop_draws(w, h, rng, min_size, max_size):
+    """The random-crop rng draws, separated from pixel work so the batch
+    geometry can be replayed from metadata (DualStreamTransform.plan)."""
+    cw = int(rng.integers(min_size, min(w, max_size) + 1)) \
+        if w > min_size else w
+    ch = int(rng.integers(min_size, min(h, max_size) + 1)) \
+        if h > min_size else h
+    ci = int(rng.integers(0, h - ch + 1))
+    cj = int(rng.integers(0, w - cw + 1))
+    return cw, ch, ci, cj
+
+
+def crop_apply(image, target, j, i, w, h):
     image = image.crop((j, i, j + w, i + h))
     out = dict(target)
     keep = None
@@ -104,6 +112,12 @@ def random_size_crop(image, target, rng, min_size=384, max_size=600):
             if k in out and len(out[k]):
                 out[k] = out[k][keep]
     return image, out
+
+
+def random_size_crop(image, target, rng, min_size=384, max_size=600):
+    cw, ch, ci, cj = _crop_draws(image.width, image.height, rng,
+                                 min_size, max_size)
+    return crop_apply(image, target, cj, ci, cw, ch)
 
 
 def to_normalized_array(image):
@@ -164,23 +178,53 @@ class DualStreamTransform:
         # target math runs here; the clip image slot returns None.
         self.host_clip_stream = host_clip_stream
 
+    def plan(self, w0, h0, rng=None):
+        """Every stochastic decision for one sample — drawn in __call__'s
+        exact rng order — plus the resulting DETR-frame output size
+        ``out_hw``, computed from the original (w0, h0) alone (no pixels).
+
+        This is what lets multi-process collation agree on the GLOBAL
+        padded batch shape: each process replays the stateless per-sample
+        rng (seed, epoch, index) over dataset size metadata for rows it
+        never loads (DataFactory.padded_hw); make_array_from_process_
+        local_data requires identical global shapes on every process.
+        """
+        if not self.training or rng is None:
+            return {"out_hw": _aspect_size(w0, h0, self.eval_min_side,
+                                           self.max_side)}
+        p = {"flip": bool(rng.random() < 0.5),
+             "jitter_order": [int(i) for i in rng.permutation(3)]}
+        p["jitter_factors"] = [
+            float(rng.uniform(1 - JITTER_STRENGTH, 1 + JITTER_STRENGTH))
+            for _ in range(3)]
+        if rng.random() < 0.5:
+            size = int(rng.choice(self.train_scales))
+            p["steps"] = (("resize", size, self.max_side),)
+            out = _aspect_size(w0, h0, size, self.max_side)
+        else:
+            s1 = int(rng.choice(self.crop_resize_choices))
+            oh, ow = _aspect_size(w0, h0, s1, None)
+            cw, ch, ci, cj = _crop_draws(ow, oh, rng, *self.crop_range)
+            s2 = int(rng.choice(self.train_scales))
+            p["steps"] = (("resize", s1, None), ("crop", cj, ci, cw, ch),
+                          ("resize", s2, self.max_side))
+            out = _aspect_size(cw, ch, s2, self.max_side)
+        p["out_hw"] = out
+        return p
+
     def __call__(self, image, target, rng=None):
         rng = self.rng if rng is None else rng
         if self.training:
-            if rng.random() < 0.5:
+            p = self.plan(*image.size, rng=rng)
+            if p["flip"]:
                 image, target = hflip(image, target)
-            image = color_jitter(image, rng)
-            if rng.random() < 0.5:
-                size = int(rng.choice(self.train_scales))
-                image, target = resize(image, target, size, self.max_side)
-            else:
-                image, target = resize(
-                    image, target, int(rng.choice(self.crop_resize_choices)))
-                image, target = random_size_crop(image, target, rng,
-                                                 *self.crop_range)
-                image, target = resize(image, target,
-                                       int(rng.choice(self.train_scales)),
-                                       self.max_side)
+            for i, f in zip(p["jitter_order"], p["jitter_factors"]):
+                image = JITTER_OPS[i](image).enhance(f)
+            for step in p["steps"]:
+                if step[0] == "resize":
+                    image, target = resize(image, target, step[1], step[2])
+                else:
+                    image, target = crop_apply(image, target, *step[1:])
         else:
             image, target = resize(image, target, self.eval_min_side,
                                    self.max_side)

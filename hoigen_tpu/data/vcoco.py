@@ -40,6 +40,17 @@ class VCOCODataset:
     def image_id(self, i: int) -> int:
         return self._image_ids[self._keep[i]]
 
+    def image_size(self, i: int):
+        """(w, h). The vsrl-derived annotations carry no sizes (unlike
+        HICO-DET's), so read the image header — PIL parses only metadata
+        until pixels are requested, so this stays cheap."""
+        anno = self._anno[self._keep[i]]
+        if "size" in anno:
+            return tuple(anno["size"])
+        from PIL import Image
+        with Image.open(os.path.join(self.root, self.filename(i))) as im:
+            return im.size
+
     def target(self, i: int) -> dict:
         anno = self._anno[self._keep[i]]
         return {

@@ -80,6 +80,11 @@ class Trainer:
                       f"time[data/iter]: "
                       f"[{np.sum(self._t_data):.2f}s/"
                       f"{np.sum(self._t_iter):.2f}s]")
+        # ALL processes call save: Orbax's Checkpointer runs its own
+        # sync_global_devices protocol in a multi-process runtime and the
+        # primary host does the writing — a rank-gated call deadlocks /
+        # mismatches those barriers (the reference's rank-0 torch.save has
+        # no such coordination, hence the difference).
         if self.checkpoint_every_epoch and self.output_dir:
             save_checkpoint(self.output_dir, self.iteration, {
                 "trainable": self.trainable, "opt_state": self.opt_state,

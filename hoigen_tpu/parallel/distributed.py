@@ -45,6 +45,8 @@ def init_distributed(coordinator: Optional[str] = None,
     coordinator = coordinator or os.environ.get("COORDINATOR_ADDRESS")
     if coordinator is None:
         return False
+    if jax.distributed.is_initialized():      # idempotent: main() may be
+        return jax.process_count() > 1        # invoked more than once
     num_processes = int(num_processes or os.environ["NUM_PROCESSES"])
     process_id = int(process_id if process_id is not None
                      else os.environ["PROCESS_ID"])
@@ -64,7 +66,8 @@ def process_index() -> int:
 
 
 def local_batch_indices(n: int, global_batch_size: int, shuffle: bool,
-                        seed: int = 0, pad_tail: bool = False):
+                        seed: int = 0, pad_tail: bool = False,
+                        return_global: bool = False):
     """Per-process slice of each global batch.
 
     Under multi-process JAX every process executes the SAME step on the
@@ -75,9 +78,12 @@ def local_batch_indices(n: int, global_batch_size: int, shuffle: bool,
     transposed from "different batches per rank" to "different rows per
     process", which is what ``make_array_from_process_local_data`` expects.
 
-    Returns (local_idx, global_n_real) pairs. Sequential ragged tails are
-    always padded (a short global batch can't split evenly); callers drop
-    the padding via ``global_n_real`` exactly as in the single-process
+    Returns (local_idx, global_n_real) pairs — or, with ``return_global``,
+    (global_idx, local_idx, global_n_real) triples (callers that must
+    compute batch-global properties, e.g. the padded image shape, need the
+    rows every other process owns). Sequential ragged tails are always
+    padded (a short global batch can't split evenly); callers drop the
+    padding via ``global_n_real`` exactly as in the single-process
     pad_tail path.
     """
     from ..data.loader import batch_indices
@@ -87,6 +93,9 @@ def local_batch_indices(n: int, global_batch_size: int, shuffle: bool,
     batches = batch_indices(n, global_batch_size, shuffle, seed,
                             pad_tail=pad_tail or not shuffle)
     per = global_batch_size // p
+    if return_global:
+        return [(idx, idx[k * per:(k + 1) * per], n_real)
+                for idx, n_real in batches]
     return [(idx[k * per:(k + 1) * per], n_real) for idx, n_real in batches]
 
 
