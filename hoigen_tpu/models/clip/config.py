@@ -28,6 +28,10 @@ class CLIPConfig:
     adapter_bottleneck: int = 64
     adapter_heads: int = 2
     adapter_dropout: float = 0.1
+    # route the ViT blocks' self-attention through the Pallas fused kernel
+    # (ops/attention.py — differentiable, so the trained-adapter path may
+    # use it too); falls back to identical XLA math off-TPU
+    fused_attention: bool = True
 
     @property
     def is_resnet(self) -> bool:

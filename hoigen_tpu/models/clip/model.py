@@ -122,13 +122,35 @@ def adapter_forward(p, x, prior, prior_mask, cfg: CLIPConfig, rng=None):
     return (down @ p["up_w"].T + p["up_b"]) * p["scale"]
 
 
+def _mhsa_fused(p, x, num_heads):
+    """Unmasked self-attention through the Pallas fused kernel
+    (ops/attention.py — has a flash-style VJP, so the ViT blocks may use
+    it while the adapters train). Same math as mha(q=kv=x, no masks); the
+    kernel falls back to identical XLA ops off-TPU."""
+    from ...ops.attention import fused_attention
+    b, l, e = x.shape
+    hd = e // num_heads
+    dt = x.dtype
+    w_q, w_k, w_v = jnp.split(p["w_qkv"].astype(dt), 3, axis=0)
+    b_q, b_k, b_v = jnp.split(p["b_qkv"].astype(dt), 3, axis=0)
+    qh = (x @ w_q.T + b_q).reshape(b, l, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = (x @ w_k.T + b_k).reshape(b, l, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = (x @ w_v.T + b_v).reshape(b, l, num_heads, hd).transpose(0, 2, 1, 3)
+    o = fused_attention(qh, kh, vh)
+    out = o.astype(dt).transpose(0, 2, 1, 3).reshape(b, l, e)
+    return out @ p["w_out"].astype(dt).T + p["b_out"].astype(dt)
+
+
 def residual_block(p, x, prior, prior_mask, num_heads, cfg: CLIPConfig,
                    attn_mask=None, rng=None):
     if "adapter" in p:
         x = x + adapter_forward(p["adapter"], x, prior, prior_mask, cfg,
                                 rng=rng)
     h = layer_norm(x, p["ln_1"])
-    x = x + mha(p["attn"], h, h, num_heads, attn_mask=attn_mask)
+    if attn_mask is None and cfg.fused_attention:
+        x = x + _mhsa_fused(p["attn"], h, num_heads)
+    else:
+        x = x + mha(p["attn"], h, h, num_heads, attn_mask=attn_mask)
     h = layer_norm(x, p["ln_2"])
     h = quick_gelu(h @ p["mlp_fc_w"].T + p["mlp_fc_b"])
     return x + h @ p["mlp_proj_w"].T + p["mlp_proj_b"]

@@ -55,22 +55,66 @@ def _xla_attention(q, k, v, key_bias, sm_scale):
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
-def fused_attention(q, k, v, key_bias=None, sm_scale=None,
-                    use_pallas=None, interpret=False, q_blk=384):
-    """q: (B, H, Lq, D); k, v: (B, H, Lk, D) (self- or cross-attention);
-    key_bias: optional (B, Lk) additive f32 (use -1e9 for padded keys).
-    Returns (B, H, Lq, D) in q.dtype.
+def _bwd_q_blk(lk, q_blk):
+    # the backward holds ~4 (Q_BLK, Lk) f32 transients (s/e, p, dp, ds)
+    # plus the f32 dk/dv accumulators — half the forward's q-block budget
+    q_blk = min(q_blk,
+                max(128, (384 * 1152 // 2 // max(lk, 1)) // 128 * 128))
+    return q_blk
 
-    Inference-only (no VJP defined): the HOI pipeline runs DETR frozen
-    under stop_gradient; the offline DETR finetune keeps the XLA path.
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
+                     dq_ref, dk_ref, dv_ref, db_ref, *, sm_scale, nheads):
+    """Flash-style recompute backward. Per (batch, q-block) grid step:
+    recompute the block's softmax (no lse saved — one extra max/sum
+    reduction instead of an extra HBM-resident stat), then
+      dv += p^T dO;  dp = dO v^T;  ds = p*(dp - rowsum(dO*O));
+      dq = ds k * scale;  dk += ds^T q * scale;  db += sum_q ds.
+    dk/dv/db accumulate in VMEM across the q-block sweep (their index maps
+    are j-independent, so the blocks stay resident; j==0 zero-initializes).
     """
-    if sm_scale is None:
-        sm_scale = 1.0 / math.sqrt(q.shape[-1])
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if not (use_pallas or interpret):
-        return _xla_attention(q, k, v, key_bias, sm_scale)
+    j = pl.program_id(1)
 
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    bias = bias_ref[0]                        # (1, Lk)
+    for h in range(nheads):
+        q = q_ref[0, h]                       # (Q_BLK, D)
+        k = k_ref[0, h]                       # (Lk, D)
+        v = v_ref[0, h]
+        do = do_ref[0, h]                     # (Q_BLK, D)
+        o = o_ref[0, h]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * sm_scale + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))   # f32 (Qb, Lk)
+        pc = p.astype(v.dtype)
+        dv_ref[0, h] += jax.lax.dot_general(
+            pc, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)               # (Qb, 1)
+        ds = p * (dp - delta)                                 # f32
+        db_ref[0, 0] += jnp.sum(ds, axis=0)
+        dsc = (ds * sm_scale).astype(q.dtype)
+        dq_ref[0, h] = jax.lax.dot_general(
+            dsc, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[0, h] += jax.lax.dot_general(
+            dsc, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _pallas_attention(q, k, v, bias, sm_scale, interpret, q_blk):
+    """Forward Pallas path. bias: (B, Lk) f32 (zeros when unused)."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
     # scale the q-block down as Lk grows: the (Q_BLK, Lk) f32 score/exp
@@ -84,10 +128,8 @@ def fused_attention(q, k, v, key_bias=None, sm_scale=None,
     qp = jnp.pad(q, [(0, 0), (0, 0), (0, lqp - lq), (0, 0)])
     kp, vp = (jnp.pad(x, [(0, 0), (0, 0), (0, lkp - lk), (0, 0)])
               for x in (k, v))
-    bias = jnp.zeros((b, lk), jnp.float32) if key_bias is None \
-        else key_bias.astype(jnp.float32)
     # (B, 1, Lkp): a singleton middle axis keeps the block tile-legal
-    bias = jnp.pad(bias, [(0, 0), (0, lkp - lk)],
+    bias = jnp.pad(bias.astype(jnp.float32), [(0, 0), (0, lkp - lk)],
                    constant_values=-1e9)[:, None, :]
 
     grid = (b, lqp // q_blk)
@@ -114,3 +156,92 @@ def fused_attention(q, k, v, key_bias=None, sm_scale=None,
         interpret=interpret,
     )(qp, kp, vp, bias)
     return out[:, :, :lq, :]
+
+
+def _pallas_attention_bwd(q, k, v, bias, out, g, sm_scale, interpret,
+                          q_blk):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    q_blk = _bwd_q_blk(lk, q_blk)
+    q_blk = min(q_blk, -(-lq // 128) * 128)
+    lqp = -(-lq // q_blk) * q_blk
+    lkp = -(-lk // 128) * 128
+    qp, op, gp = (jnp.pad(x, [(0, 0), (0, 0), (0, lqp - lq), (0, 0)])
+                  for x in (q, out, g))
+    kp, vp = (jnp.pad(x, [(0, 0), (0, 0), (0, lkp - lk), (0, 0)])
+              for x in (k, v))
+    biasp = jnp.pad(bias.astype(jnp.float32), [(0, 0), (0, lkp - lk)],
+                    constant_values=-1e9)[:, None, :]
+
+    grid = (b, lqp // q_blk)
+    q_spec = pl.BlockSpec((1, h, q_blk, d), lambda i, j: (i, 0, j, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, h, lkp, d), lambda i, j: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dq, dk, dv, db = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, sm_scale=sm_scale, nheads=h),
+        grid=grid,
+        in_specs=[
+            q_spec, kv_spec, kv_spec,
+            pl.BlockSpec((1, 1, lkp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            q_spec, q_spec,
+        ],
+        out_specs=[
+            q_spec,
+            kv_spec, kv_spec,
+            pl.BlockSpec((1, 1, lkp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, lqp, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, lkp, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, lkp, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, lkp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, biasp, gp, op)
+    return (dq[:, :, :lq, :], dk[:, :, :lk, :].astype(k.dtype),
+            dv[:, :, :lk, :].astype(v.dtype),
+            db[:, 0, :lk].astype(bias.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_ad(q, k, v, bias, sm_scale, interpret, q_blk):
+    return _pallas_attention(q, k, v, bias, sm_scale, interpret, q_blk)
+
+
+def _attention_ad_fwd(q, k, v, bias, sm_scale, interpret, q_blk):
+    out = _pallas_attention(q, k, v, bias, sm_scale, interpret, q_blk)
+    return out, (q, k, v, bias, out)
+
+
+def _attention_ad_bwd(sm_scale, interpret, q_blk, res, g):
+    q, k, v, bias, out = res
+    return _pallas_attention_bwd(q, k, v, bias, out, g, sm_scale,
+                                 interpret, q_blk)
+
+
+_attention_ad.defvjp(_attention_ad_fwd, _attention_ad_bwd)
+
+
+def fused_attention(q, k, v, key_bias=None, sm_scale=None,
+                    use_pallas=None, interpret=False, q_blk=384):
+    """q: (B, H, Lq, D); k, v: (B, H, Lk, D) (self- or cross-attention);
+    key_bias: optional (B, Lk) additive f32 (use -1e9 for padded keys).
+    Returns (B, H, Lq, D) in q.dtype.
+
+    Differentiable: a flash-style recompute backward (Pallas) provides
+    dq/dk/dv/dbias, so trained towers (CLIP ViT adapters path) can run the
+    fused kernel too — not just the frozen/stop_gradient DETR encoder.
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not (use_pallas or interpret):
+        return _xla_attention(q, k, v, key_bias, sm_scale)
+    b, lk = q.shape[0], k.shape[2]
+    bias = jnp.zeros((b, lk), jnp.float32) if key_bias is None \
+        else key_bias.astype(jnp.float32)
+    return _attention_ad(q, k, v, bias, sm_scale, interpret, q_blk)

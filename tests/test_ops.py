@@ -333,6 +333,76 @@ def test_fused_attention_parity():
 
 
 
+def test_fused_attention_vjp():
+    """The flash-style Pallas backward (interpret mode) == XLA autodiff
+    grads for q/k/v AND the additive key bias, across self/cross shapes
+    and non-block-multiple lengths."""
+    import jax
+    import jax.numpy as jnp
+    from hoigen_tpu.ops.attention import _xla_attention, fused_attention
+
+    rng = np.random.default_rng(1)
+    b, h, d = 2, 3, 32
+    for lq, lk, with_bias in ((70, 70, True), (70, 70, False),
+                              (36, 70, True), (200, 150, False)):
+        q = jnp.asarray(rng.normal(size=(b, h, lq, d)).astype(np.float32))
+        k, v = (jnp.asarray(rng.normal(size=(b, h, lk, d))
+                            .astype(np.float32)) for _ in range(2))
+        bias = jnp.asarray(
+            np.where(rng.random((b, lk)) < 0.2, -1e9,
+                     rng.normal(0, 0.3, (b, lk))).astype(np.float32)) \
+            if with_bias else None
+        gref = jnp.asarray(rng.normal(size=(b, h, lq, d))
+                           .astype(np.float32))
+
+        def loss_ref(q, k, v, bias):
+            return jnp.sum(_xla_attention(q, k, v, bias,
+                                          1.0 / np.sqrt(d)) * gref)
+
+        def loss_fused(q, k, v, bias):
+            return jnp.sum(fused_attention(q, k, v, key_bias=bias,
+                                           interpret=True) * gref)
+
+        ref = jax.grad(loss_ref, argnums=(0, 1, 2) +
+                       ((3,) if with_bias else ()))(q, k, v, bias)
+        got = jax.grad(loss_fused, argnums=(0, 1, 2) +
+                       ((3,) if with_bias else ()))(q, k, v, bias)
+        for name, r, g in zip("qkvb", ref, got):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=3e-4, rtol=1e-3,
+                err_msg=f"d{name} lq={lq} lk={lk} bias={with_bias}")
+
+
+def test_clip_fused_attention_matches_mha():
+    """The ViT self-attention fused path (CPU fallback) == the mha path,
+    values and grads, so flipping CLIPConfig.fused_attention cannot change
+    the model's math."""
+    import jax
+    import jax.numpy as jnp
+    from hoigen_tpu.models.clip.model import _mhsa_fused, mha
+
+    rng = np.random.default_rng(2)
+    b, l, e, heads = 2, 17, 64, 4
+    x = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32))
+    p = {"w_qkv": jnp.asarray(rng.normal(size=(3 * e, e), scale=0.1)
+                              .astype(np.float32)),
+         "b_qkv": jnp.asarray(rng.normal(size=(3 * e,), scale=0.1)
+                              .astype(np.float32)),
+         "w_out": jnp.asarray(rng.normal(size=(e, e), scale=0.1)
+                              .astype(np.float32)),
+         "b_out": jnp.asarray(rng.normal(size=(e,), scale=0.1)
+                              .astype(np.float32))}
+    ref = mha(p, x, x, heads)
+    got = _mhsa_fused(p, x, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+    gr = jax.grad(lambda pp: jnp.sum(mha(pp, x, x, heads) ** 2))(p)
+    gf = jax.grad(lambda pp: jnp.sum(_mhsa_fused(pp, x, heads) ** 2))(p)
+    for kk in p:
+        np.testing.assert_allclose(np.asarray(gf[kk]), np.asarray(gr[kk]),
+                                   atol=3e-4, rtol=1e-3, err_msg=kk)
+
+
 def test_stem_s2d_conv_parity():
     """Space-to-depth 7x7/s2 stem conv == the strided lax conv (exact
     contraction set; fp32 tolerance only)."""
