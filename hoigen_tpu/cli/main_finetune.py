@@ -32,7 +32,7 @@ from ..models.clip.tokenizer import tokenize
 from ..models.detr import DETRConfig
 from ..models.proposals import ProposalConfig
 from ..models.upt import UPTConfig
-from ..parallel import (global_batch_from_local, global_mesh,
+from ..parallel import (gather_pyobj, global_batch_from_local, global_mesh,
                         host_local_rows, init_distributed,
                         local_batch_indices, local_n_real, make_mesh,
                         process_allgather_ragged, replicate, shard_batch)
@@ -516,37 +516,38 @@ def main(cfg: RunConfig):
                 if prev is not None:
                     yield prev
 
+            # multi-process caching shards the scoring (each process its
+            # rows) and merges the ragged per-image results via pickled
+            # allgather — beyond the reference, which caches on rank 0 only
+            # (utils...py:413) and re-scores everything there
+            gather = gather_pyobj if multi else None
+            primary = jax.process_index() == 0
             if cfg.cache:
-                if multi:
-                    raise NotImplementedError(
-                        "official-format caching writes per-image files; "
-                        "run it single-process (the reference caches on "
-                        "rank 0 only, utils...py:413)")
                 if cfg.dataset == "hicodet":
                     cache_hico(run_batches(), test_factory.dataset,
                                model_cfg.upt.proposals,
                                HICO.object_n_verb_to_interaction,
                                HICO.object_to_interaction, cfg.num_classes,
-                               cfg.output_dir)
+                               cfg.output_dir, gather_fn=gather,
+                               is_primary=primary)
                 else:
                     cache_vcoco(run_batches(), test_factory.dataset,
-                                model_cfg.upt.proposals, cfg.output_dir)
+                                model_cfg.upt.proposals, cfg.output_dir,
+                                gather_fn=gather, is_primary=primary)
                 return None
             if cfg.dataset == "vcoco":
                 # Beyond reference parity: main_tip_finetune.py:912 raises
                 # here and defers to the official toolkit on cache.pkl; we
                 # evaluate the vsrl role AP in-repo (eval/vcoco_ap.py).
-                if multi:
-                    raise NotImplementedError(
-                        "V-COCO role AP consumes per-image result dicts; "
-                        "run eval single-process (the reference only "
-                        "caches, and on rank 0 only)")
                 report = evaluate_vcoco(run_batches(), test_factory.dataset,
-                                        model_cfg.upt.proposals)
-                for k in ("role_ap_scenario_1", "role_ap_scenario_2",
-                          "agent_ap"):
-                    print(f"{k}: mean AP "
-                          f"{report[k]['mean'] * 100:.2f}")
+                                        model_cfg.upt.proposals,
+                                        gather_fn=gather,
+                                        is_primary=primary)
+                if primary:
+                    for k in ("role_ap_scenario_1", "role_ap_scenario_2",
+                              "agent_ap"):
+                        print(f"{k}: mean AP "
+                              f"{report[k]['mean'] * 100:.2f}")
                 return report
             result = evaluate_hico(
                 run_batches(), test_factory.dataset, cfg.num_classes,

@@ -127,13 +127,19 @@ def evaluate_hico(run_batches, dataset, num_classes: int,
 
 def cache_hico(run_batches, dataset, proposal_cfg,
                object_n_verb_to_interaction, object_to_interaction,
-               num_classes: int, cache_dir: str):
-    """Official HICO-DET .mat result dump (cache_hico, :413-492)."""
+               num_classes: int, cache_dir: str,
+               gather_fn=None, is_primary: bool = True):
+    """Official HICO-DET .mat result dump (cache_hico, :413-492).
+
+    Multi-process (beyond the reference, which caches on rank 0 only and
+    therefore re-scores every image there): each process scores its shard,
+    the sparse (class, image, rows) entries ride ``gather_fn``
+    (parallel.gather_pyobj) and the primary process assembles + writes."""
     import scipy.io as sio
     px, py = (np.asarray(x) for x in pair_indices(proposal_cfg))
     nimages = len(dataset.annotations)
-    all_results = np.empty((600, nimages), dtype=object)
     conv = object_n_verb_to_interaction
+    entries = []          # (interaction cls, official image idx, (n,9) rows)
     for outputs, batch in run_batches:
         scores_all = np.asarray(outputs["detection_scores"])
         boxes_all = np.asarray(outputs["boxes"])
@@ -156,8 +162,15 @@ def cache_hico(run_batches, dataset, proposal_cfg,
             sc = det["scores"][keep]
             for cls in np.unique(inter[keep]):
                 m = inter[keep] == cls
-                all_results[cls, image_idx] = np.concatenate(
-                    [bh[m], bo[m], sc[m, None]], axis=1)
+                entries.append((int(cls), int(image_idx), np.concatenate(
+                    [bh[m], bo[m], sc[m, None]], axis=1)))
+    parts = [entries] if gather_fn is None else gather_fn(entries)
+    if not is_primary:
+        return
+    all_results = np.empty((600, nimages), dtype=object)
+    for part in parts:
+        for cls, image_idx, rows in part:
+            all_results[cls, image_idx] = rows
     for c in range(600):
         for j in range(nimages):
             if all_results[c, j] is None:
@@ -212,9 +225,16 @@ def collect_vcoco_results(run_batches, dataset, proposal_cfg):
     return all_results
 
 
-def cache_vcoco(run_batches, dataset, proposal_cfg, cache_dir: str):
-    """Official V-COCO pickle dump (cache_vcoco, :494-540)."""
+def cache_vcoco(run_batches, dataset, proposal_cfg, cache_dir: str,
+                gather_fn=None, is_primary: bool = True):
+    """Official V-COCO pickle dump (cache_vcoco, :494-540). Under
+    multi-process, ``gather_fn`` merges the per-shard result lists and the
+    primary process writes (and is the only one to return results)."""
     all_results = collect_vcoco_results(run_batches, dataset, proposal_cfg)
+    if gather_fn is not None:
+        all_results = [r for part in gather_fn(all_results) for r in part]
+    if not is_primary:
+        return None
     os.makedirs(cache_dir, exist_ok=True)
     with open(os.path.join(cache_dir, "cache.pkl"), "wb") as f:
         pickle.dump(all_results, f, 2)
@@ -222,13 +242,19 @@ def cache_vcoco(run_batches, dataset, proposal_cfg, cache_dir: str):
 
 
 def evaluate_vcoco(run_batches, dataset, proposal_cfg,
-                   cache_dir: Optional[str] = None):
+                   cache_dir: Optional[str] = None, gather_fn=None,
+                   is_primary: bool = True):
     """In-repo V-COCO role/agent AP (beyond reference parity: the
     reference only dumps cache.pkl for the official toolkit,
-    main_tip_finetune.py:912). Optionally also writes the pickle."""
+    main_tip_finetune.py:912). Optionally also writes the pickle.
+    Multi-process: every process scores its shard, results merge via
+    ``gather_fn`` and every process computes the (deterministic) AP."""
     from ..eval.vcoco_ap import evaluate_vcoco_results
-    if cache_dir is not None:
-        results = cache_vcoco(run_batches, dataset, proposal_cfg, cache_dir)
+    if cache_dir is not None and is_primary:
+        results = cache_vcoco(run_batches, dataset, proposal_cfg, cache_dir,
+                              gather_fn=gather_fn)
     else:
         results = collect_vcoco_results(run_batches, dataset, proposal_cfg)
+        if gather_fn is not None:
+            results = [r for part in gather_fn(results) for r in part]
     return evaluate_vcoco_results(results, dataset)

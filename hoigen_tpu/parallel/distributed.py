@@ -149,6 +149,28 @@ def process_allgather_ragged(tree):
     return jax.tree.map(gather, tree)
 
 
+def gather_pyobj(obj):
+    """All-gather one arbitrary pickleable object per process; returns a
+    list with process_count entries in process order (single-process:
+    ``[obj]``). Used by the official-format caching paths, whose per-image
+    results are ragged dicts/object arrays rather than rectangular tensors.
+
+    Reference analog: pocket/pocket/utils/distributed.py:103-143
+    (all_gather of pickled byte tensors over NCCL); here the pickled bytes
+    ride the same allgather fabric the eval metrics use.
+    """
+    import pickle
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils as mh
+    a = np.frombuffer(pickle.dumps(obj, protocol=4), np.uint8)
+    ns = np.asarray(mh.process_allgather(np.asarray(a.shape[0], np.int64)))
+    m = int(ns.max())
+    padded = np.concatenate([a, np.zeros(m - a.shape[0], np.uint8)])
+    g = np.asarray(mh.process_allgather(padded))         # (p, m)
+    return [pickle.loads(g[i, :ns[i]].tobytes()) for i in range(len(ns))]
+
+
 def host_local_rows(x) -> np.ndarray:
     """This process's rows of a batch-sharded global jax.Array, in batch
     order. On fully-addressable arrays this is just np.asarray."""

@@ -46,12 +46,32 @@ def main():
 
     result = mf.main(RunConfig(**{**common, "eval": True,
                                   "resume": out_dir}))
+
+    # official-format caching under the same cluster: each process scores
+    # its shard, results merge via gather_pyobj, process 0 writes the .mat
+    # files; digest them so the test can compare against the 1-proc run
+    cache_dir = os.path.join(out_dir, "cache_out")
+    mf.main(RunConfig(**{**common, "cache": True, "resume": out_dir,
+                         "output_dir": cache_dir}))
+    mat_digest = []
+    if pid == 0:
+        import scipy.io as sio
+        for obj in range(1, 81):
+            m = sio.loadmat(
+                os.path.join(cache_dir, f"detections_{obj:02d}.mat"))
+            cells = [c for c in np.asarray(m["all_boxes"]).ravel()
+                     if c.size]
+            n = int(sum(c.shape[0] for c in cells))
+            s = float(sum(np.float64(c).sum() for c in cells))
+            mat_digest.append([n, round(s, 6)])
+
     print(json.dumps({
         "pid": pid,
         "mAP": float(result["mAP"]),
         "rare": float(result["mAP_rare"]),
         "non_rare": float(result["mAP_non_rare"]),
         "ap": np.round(np.asarray(result["ap"], np.float64), 10).tolist(),
+        "mat_digest": mat_digest,
     }))
 
 

@@ -59,6 +59,16 @@ def main():
                           for k in range(nproc)])
     np.testing.assert_array_equal(r["scores"], exp)
 
+    # pickled-object gather (official-format caching: ragged per-image
+    # result dicts) — distinct structure AND length per process
+    from hoigen_tpu.parallel import gather_pyobj
+    parts = gather_pyobj([{"pid": pid, "rows": np.arange(pid + 1)}] * (
+        pid + 2))
+    assert len(parts) == nproc
+    for k, part in enumerate(parts):
+        assert len(part) == k + 2 and part[0]["pid"] == k
+        np.testing.assert_array_equal(part[0]["rows"], np.arange(k + 1))
+
     # a real optimizer step on the global mesh: grads implicitly psum over
     # rows held by BOTH processes
     import optax

@@ -164,6 +164,14 @@ def test_two_process_cli_matches_single(tiny_dataset, tmp_path):
     for k in ("mAP", "rare", "non_rare"):
         np.testing.assert_allclose(by_pid[0][k], single[k],
                                    rtol=1e-6, atol=1e-9)
+    # --cache under the cluster: sharded scoring + gather_pyobj merge must
+    # reproduce the single-process .mat dump (per-object row counts + sums)
+    s_dig = np.asarray(single["mat_digest"], np.float64)
+    m_dig = np.asarray(by_pid[0]["mat_digest"], np.float64)
+    assert s_dig.shape == m_dig.shape == (80, 2)
+    np.testing.assert_array_equal(s_dig[:, 0], m_dig[:, 0])
+    np.testing.assert_allclose(s_dig[:, 1], m_dig[:, 1], rtol=1e-6,
+                               atol=1e-6)
 
 
 def test_inference_cli(tiny_dataset, tmp_path, monkeypatch):
