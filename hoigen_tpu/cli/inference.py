@@ -165,7 +165,16 @@ def main(argv=None):
         feed["images_clip"] = batch.images_clip
     out = step(trainable, frozen, buffers, feed)
 
-    scores_mat = np.asarray(out["detection_scores"])[0]
+    # rebuild the dense (P, C) matrix from the compact LUT-gathered form
+    # (np.maximum.at: LUT pad slots carry zeros and scores are >= 0, so
+    # they can never clobber a real verb-0 entry)
+    cmp = np.asarray(out["detection_scores"])[0]
+    verbs = np.asarray(out["detection_verbs"])[0]
+    P = cmp.shape[0]
+    scores_mat = np.zeros((P, model_cfg.upt.num_classes), cmp.dtype)
+    np.maximum.at(scores_mat,
+                  (np.repeat(np.arange(P), cmp.shape[1]), verbs.ravel()),
+                  cmp.ravel())
     boxes = np.asarray(out["boxes"])[0]
     objects = np.asarray(out["objects"])[0]
     pair_valid = np.asarray(out["pair_valid"])[0]

@@ -17,17 +17,32 @@ from ..eval import BoxPairAssociation, DetectionAPMeter
 from ..models.proposals import pair_indices
 
 
-def _extract_detections(scores_mat, boxes, objects, pair_x, pair_y):
-    """Dense (P, C) -> sparse detections (reference postprocessing,
-    upt...py:1408-1427: entries with nonzero prior product)."""
+def _extract_detections(scores_mat, boxes, objects, pair_x, pair_y,
+                        verbs_mat=None):
+    """(P, C) dense or (P, Vmax) compact -> sparse detections (reference
+    postprocessing, upt...py:1408-1427: entries with nonzero prior
+    product). Compact form (``verbs_mat`` given): column k of row p holds
+    the score of verb verbs_mat[p, k]; LUT rows ascend, so the extraction
+    order matches the dense np.nonzero row-major order exactly."""
     ps, cs = np.nonzero(scores_mat)
+    verbs = cs if verbs_mat is None else verbs_mat[ps, cs]
     return {
         "scores": scores_mat[ps, cs],
-        "verbs": cs.astype(np.int64),
+        "verbs": verbs.astype(np.int64),
         "objects": objects[ps],
         "boxes_h": boxes[pair_x[ps]],
         "boxes_o": boxes[pair_y[ps]],
     }
+
+
+def _batch_arrays(outputs):
+    """(scores, verbs-or-None, boxes, objects) numpy views of one eval
+    batch's outputs, handling dense and compact forms."""
+    return (np.asarray(outputs["detection_scores"]),
+            np.asarray(outputs["detection_verbs"])
+            if "detection_verbs" in outputs else None,
+            np.asarray(outputs["boxes"]),
+            np.asarray(outputs["objects"]))
 
 
 def _recover_gt(boxes_cxcywh, size_hw):
@@ -62,12 +77,12 @@ def evaluate_hico(run_batches, dataset, num_classes: int,
     acc_s, acc_i, acc_l = [], [], []
 
     for outputs, batch in run_batches:
-        scores_all = np.asarray(outputs["detection_scores"])
-        boxes_all = np.asarray(outputs["boxes"])
-        objects_all = np.asarray(outputs["objects"])
+        scores_all, verbs_all, boxes_all, objects_all = \
+            _batch_arrays(outputs)
         for i in range(scores_all.shape[0]):
-            det = _extract_detections(scores_all[i], boxes_all[i],
-                                      objects_all[i], px, py)
+            det = _extract_detections(
+                scores_all[i], boxes_all[i], objects_all[i], px, py,
+                None if verbs_all is None else verbs_all[i])
             if num_classes == 117:
                 inter = conv[det["objects"], det["verbs"]]
             else:
@@ -141,14 +156,14 @@ def cache_hico(run_batches, dataset, proposal_cfg,
     conv = object_n_verb_to_interaction
     entries = []          # (interaction cls, official image idx, (n,9) rows)
     for outputs, batch in run_batches:
-        scores_all = np.asarray(outputs["detection_scores"])
-        boxes_all = np.asarray(outputs["boxes"])
-        objects_all = np.asarray(outputs["objects"])
+        scores_all, verbs_all, boxes_all, objects_all = \
+            _batch_arrays(outputs)
         for i in range(scores_all.shape[0]):
             ds_idx = int(batch.indices[i])
             image_idx = dataset._idx[ds_idx]
-            det = _extract_detections(scores_all[i], boxes_all[i],
-                                      objects_all[i], px, py)
+            det = _extract_detections(
+                scores_all[i], boxes_all[i], objects_all[i], px, py,
+                None if verbs_all is None else verbs_all[i])
             inter = (conv[det["objects"], det["verbs"]]
                      if num_classes == 117 else det["verbs"])
             keep = inter >= 0
@@ -201,13 +216,13 @@ def collect_vcoco_results(run_batches, dataset, proposal_cfg):
     px, py = (np.asarray(x) for x in pair_indices(proposal_cfg))
     all_results = []
     for outputs, batch in run_batches:
-        scores_all = np.asarray(outputs["detection_scores"])
-        boxes_all = np.asarray(outputs["boxes"])
-        objects_all = np.asarray(outputs["objects"])
+        scores_all, verbs_all, boxes_all, objects_all = \
+            _batch_arrays(outputs)
         for i in range(scores_all.shape[0]):
             ds_idx = int(batch.indices[i])
-            det = _extract_detections(scores_all[i], boxes_all[i],
-                                      objects_all[i], px, py)
+            det = _extract_detections(
+                scores_all[i], boxes_all[i], objects_all[i], px, py,
+                None if verbs_all is None else verbs_all[i])
             ow, oh = dataset.image_size(ds_idx) if hasattr(
                 dataset, "image_size") else (batch.clip_sizes[i][1],
                                              batch.clip_sizes[i][0])

@@ -159,13 +159,18 @@ def make_train_step(cfg: HOIModelConfig, optimizer):
 
 
 def make_eval_step(cfg: HOIModelConfig):
-    """-> jittable (trainable, frozen, buffers, batch) -> detections dict
-    (dense (B, P, C) score matrix + slots; host does sparse extraction)."""
+    """-> jittable (trainable, frozen, buffers, batch) -> detections dict.
+
+    Ships the COMPACT form: detection_scores (B, P, Vmax) gathered through
+    the per-object verb LUT + detection_verbs (B, P, Vmax) ids — lossless
+    (everything outside a pair's object-class verb set is zeroed by the
+    prior mask) and ~17x less D2H than the dense (B, P, 600) matrix."""
 
     def step(trainable, frozen, buffers, batch):
         out = _forward(trainable, frozen, buffers, batch, cfg,
                        training=False)
-        return {"detection_scores": out["detection_scores"],
+        return {"detection_scores": out["detection_scores_cmp"],
+                "detection_verbs": out["detection_verbs"],
                 "boxes": out["boxes"], "objects": out["objects"],
                 "pair_valid": out["pair_valid"]}
 

@@ -434,6 +434,17 @@ def upt_forward(params, buffers, detr_post, images_clip, image_sizes,
         det_scores = jax.nn.sigmoid(logits) * pp
         aux["detection_scores"] = det_scores                # (B, P, C)
         aux["objects"] = labels[:, y_idx]                   # (B, P)
+        # compact form: only verbs of the pair's object class can be
+        # nonzero (the prior mask zeroes everything else,
+        # compute_prior_scores / upt_tip...py:806-833), so gathering the
+        # dense matrix through the per-object verb LUT loses nothing.
+        # C=600 -> Vmax=18 for HICO: ~17x less D2H when the eval step
+        # ships detections to the host.
+        lut = buffers["verb_lut"][aux["objects"]]           # (B, P, Vmax)
+        aux["detection_scores_cmp"] = jnp.take_along_axis(
+            det_scores, lut, axis=-1) \
+            * buffers["verb_lut_valid"][aux["objects"]]
+        aux["detection_verbs"] = lut
         return aux
 
     gt_labels = jax.vmap(
@@ -643,6 +654,20 @@ def init_upt_params(rng, cfg: UPTConfig, caches, clip_params):
         "object_embedding": jnp.asarray(caches.object_embedding),
         "origin_text_embeddings": jnp.asarray(caches.origin_text_embeddings),
     }
+    # per-object verb LUT (ascending ids) + validity: the eval step gathers
+    # the dense (P, C) score matrix down to (P, Vmax) before D2H. Built
+    # from the SAME multihot the prior mask uses, so entries outside the
+    # LUT are exactly zero and compaction is lossless.
+    m_np = np.asarray(caches.object_class_multihot) > 0
+    vmax = max(int(m_np.sum(1).max()), 1)
+    lut = np.zeros((m_np.shape[0], vmax), np.int32)
+    lut_valid = np.zeros((m_np.shape[0], vmax), np.float32)
+    for o in range(m_np.shape[0]):
+        v = np.nonzero(m_np[o])[0]
+        lut[o, :v.size] = v
+        lut_valid[o, :v.size] = 1.0
+    buffers["verb_lut"] = jnp.asarray(lut)
+    buffers["verb_lut_valid"] = jnp.asarray(lut_valid)
     return params, buffers
 
 
