@@ -256,9 +256,21 @@ def make_model_config(cfg: RunConfig) -> HOIModelConfig:
     use_pallas_cache = (jax.default_backend() == "tpu"
                         if cfg.use_pallas_cache is None
                         else cfg.use_pallas_cache)
+    if cfg.use_insadapter:
+        # adapter placement (--adapter_pos all/front/end/last/random,
+        # CLIP_models_adapter_prior2.py:958-967) and depth
+        # (--adapter_num_layers); 'random' draws from the run seed rather
+        # than the reference's unseeded random module (reproducibility)
+        import random as _random
+        clip_cfg = CLIPConfig(
+            adapter_layers=CLIPConfig.adapter_layer_ids(
+                cfg.adapter_pos, VIT_B16.vision_layers,
+                rng=_random.Random(cfg.seed)),
+            adapter_num_layers=cfg.adapter_num_layers)
+    else:
+        clip_cfg = CLIPConfig(use_adapter=False)
     return HOIModelConfig(
-        clip=VIT_B16 if cfg.use_insadapter else
-        CLIPConfig(use_adapter=False),
+        clip=clip_cfg,
         detr=DETRConfig(num_classes=num_detr_classes),
         upt=UPTConfig(
             num_classes=cfg.num_classes, num_shot=cfg.num_shot,

@@ -380,6 +380,35 @@ def test_zero_shot_train_eval(tiny_dataset, tmp_path, monkeypatch, capsys):
     assert "zero-shot(rare_first)" in capsys.readouterr().out
 
 
+def test_adapter_pos_wiring():
+    """--adapter_pos/--adapter_num_layers reach the model config (they
+    were silently overridden by the VIT_B16 default before), and 'random'
+    placement is seeded by the run seed (reproducible, unlike the
+    reference's bare random module, CLIP_models_adapter_prior2.py:963)."""
+    import hoigen_tpu.cli.main_finetune as mf
+    from hoigen_tpu.utils.config import RunConfig
+
+    assert mf.make_model_config(
+        RunConfig()).clip.adapter_layers == tuple(range(12))
+    assert mf.make_model_config(
+        RunConfig(adapter_pos="last")).clip.adapter_layers == (11,)
+    assert mf.make_model_config(
+        RunConfig(adapter_pos="front")).clip.adapter_layers == tuple(range(6))
+    assert mf.make_model_config(
+        RunConfig(adapter_num_layers=3)).clip.adapter_num_layers == 3
+    r1 = mf.make_model_config(
+        RunConfig(adapter_pos="random", seed=7)).clip.adapter_layers
+    r2 = mf.make_model_config(
+        RunConfig(adapter_pos="random", seed=7)).clip.adapter_layers
+    r3 = mf.make_model_config(
+        RunConfig(adapter_pos="random", seed=8)).clip.adapter_layers
+    assert r1 == r2 and len(r1) == 6
+    assert all(0 <= i < 12 for i in r1)
+    del r3  # different seeds usually differ, but that's not guaranteed
+    assert mf.make_model_config(
+        RunConfig(use_insadapter=False)).clip.use_adapter is False
+
+
 def test_cache_hico_cli(tiny_dataset, tmp_path, monkeypatch):
     """--cache true drives the official .mat dump through main()
     (cache_hico, utils_tip...py:413-492)."""
