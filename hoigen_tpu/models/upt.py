@@ -497,21 +497,6 @@ def language_aware_loss(params, origin_text_embeddings, weight: float):
 
 
 # --------------------------------------------------------------------------
-# postprocessing to host-side detections (postprocessing, :1408-1427)
-# --------------------------------------------------------------------------
-def detections_to_host(aux, image_sizes):
-    """Returns numpy arrays for the eval loop: per image the dense
-    (P, C) score matrix with pair validity, box slots and pairings —
-    sparse extraction (nonzero prior) happens on host."""
-    return {k: np.asarray(aux[k]) for k in
-            ("detection_scores", "boxes", "pair_valid", "objects")} | {
-        "pair_x": np.asarray(aux["pairing"][0]),
-        "pair_y": np.asarray(aux["pairing"][1]),
-        "image_sizes": np.asarray(image_sizes),
-    }
-
-
-# --------------------------------------------------------------------------
 # parameter init
 # --------------------------------------------------------------------------
 def init_upt_params(rng, cfg: UPTConfig, caches, clip_params):
