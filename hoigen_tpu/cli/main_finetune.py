@@ -109,6 +109,18 @@ def encode_class_texts(clip_params, clip_cfg, texts, chunk=256,
     return emb / np.linalg.norm(emb, axis=-1, keepdims=True)
 
 
+def hico_prior_multihot(num_classes, zs, evaluating, filtered):
+    """Object-class -> valid-verb multihot for the prior mask.
+
+    Zero-shot TRAINING masks priors to seen classes (zs_object_to_target,
+    utils_tip...py:144-152), but at eval/cache the reference swaps the FULL
+    test-set table back in (main_tip_finetune.py:868-872) — without that,
+    unseen classes get zero prior and unseen mAP is identically 0."""
+    if zs and not evaluating:
+        return HICO.seen_object_class_multihot(num_classes, filtered)
+    return HICO.object_class_multihot(num_classes)
+
+
 def build_caches(cfg: RunConfig, clip_params, model_cfg, train_factory):
     """Pair cache from the pkl + text/object embeddings; CLIP/DINO global
     caches from .npz if cached (utils.py save/load behavior) else random
@@ -180,9 +192,8 @@ def build_caches(cfg: RunConfig, clip_params, model_cfg, train_factory):
               "prepare_data to build them from the train set")
 
     if cfg.dataset == "hicodet":
-        multihot = (HICO.object_class_multihot(num_classes)
-                    if not cfg.zs else
-                    HICO.seen_object_class_multihot(num_classes, filtered))
+        multihot = hico_prior_multihot(num_classes, cfg.zs,
+                                       cfg.eval or cfg.cache, filtered)
     else:
         # V-COCO object ids are 1-based (0 = background) while detector
         # labels are 0-based person-first; shift rows so multihot[label]

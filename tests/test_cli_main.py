@@ -380,6 +380,30 @@ def test_zero_shot_train_eval(tiny_dataset, tmp_path, monkeypatch, capsys):
     assert "zero-shot(rare_first)" in capsys.readouterr().out
 
 
+def test_zs_prior_multihot_full_at_eval():
+    """Zero-shot EVAL must use the full object->verb prior table (the
+    reference swaps it back in at main_tip_finetune.py:868-872); only
+    training masks to seen classes. A filtered table at eval makes every
+    unseen class undetectable (prior == 0 -> unseen mAP == 0)."""
+    import hoigen_tpu.cli.main_finetune as mf
+
+    filtered = HICO.unseen_index["rare_first"]
+    full = mf.hico_prior_multihot(600, zs=True, evaluating=True,
+                                  filtered=filtered)
+    np.testing.assert_array_equal(full, HICO.object_class_multihot(600))
+    # unseen interactions must be reachable at eval...
+    assert all(full[:, filtered].sum(0) > 0)
+    # ...and masked during training
+    train = mf.hico_prior_multihot(600, zs=True, evaluating=False,
+                                   filtered=filtered)
+    assert not train[:, filtered].any()
+    # non-zs: always full
+    np.testing.assert_array_equal(
+        mf.hico_prior_multihot(600, zs=False, evaluating=False,
+                               filtered=[]),
+        HICO.object_class_multihot(600))
+
+
 def test_adapter_pos_wiring():
     """--adapter_pos/--adapter_num_layers reach the model config (they
     were silently overridden by the VIT_B16 default before), and 'random'
