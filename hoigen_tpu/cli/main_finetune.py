@@ -133,11 +133,23 @@ def build_caches(cfg: RunConfig, clip_params, model_cfg, train_factory):
         anno = load_pair_annotations(cfg.file1)
         num_anno = train_factory.dataset.anno_interaction \
             if cfg.dataset == "hicodet" else None
+        obj_to_verb = (train_factory.dataset.object_to_verb
+                       if cfg.dataset == "hicodet"
+                       else VCOCO_LABELS.object_to_verb)
+        if cfg.zs and cfg.dataset == "hicodet":
+            # cache CONSTRUCTION always uses the zs-filtered train map
+            # (the reference model is built with zs_object_to_target,
+            # utils...py:144-152, and filters 117-mode cache rows through
+            # it at upt...py:676-678) — even at eval, where only the PRIOR
+            # table is swapped back to full (hico_prior_multihot above)
+            fset = set(filtered)
+            obj_to_verb = [[] for _ in range(len(obj_to_verb))]
+            for hoi, obj, verb in HICO.class_corr:
+                if hoi not in fset:
+                    obj_to_verb[obj].append(verb)
         pair = build_pair_cache(
             anno, num_classes, cfg.num_shot,
-            HICO.object_n_verb_to_interaction,
-            train_factory.dataset.object_to_verb
-            if cfg.dataset == "hicodet" else VCOCO_LABELS.object_to_verb,
+            HICO.object_n_verb_to_interaction, obj_to_verb,
             filtered_hoi_idx=filtered, use_multi_hot=cfg.use_multi_hot,
             label_choice=cfg.label_choice, num_anno=num_anno, seed=cfg.seed)
         print(f"[cache] pair cache from {cfg.file1}")

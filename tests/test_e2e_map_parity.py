@@ -464,3 +464,163 @@ def test_composed_map_parity(harness, tmp_path, monkeypatch):
     assert abs(result["mAP_rare"] - float(ap_ref[rare].mean())) < 1e-3
     assert abs(result["mAP_non_rare"]
                - float(ap_ref[~rare].mean())) < 1e-3
+
+
+def _pick_zs_type(root):
+    """A zs split whose unseen set intersects the fixture's DETECTED GT
+    classes (GT minus the per-image never-detected 'miss' classes) — so
+    unseen classes genuinely exercise the eval path."""
+    inst = json.load(open(os.path.join(root, "instances_test2015.json")))
+    gt = set()
+    for a in inst["annotation"]:
+        gt.update(a["hoi"])
+    miss = {HICO.class_corr[(37 * (i + 1)) % 600][0]
+            for i in range(N_IMAGES)}
+    detected_gt = gt - miss
+    for zt in ("rare_first", "non_rare_first", "uc0", "uc1", "uc2", "uc3",
+               "uc4", "unseen_verb", "unseen_object"):
+        if detected_gt & set(HICO.unseen_index[zt]):
+            return zt
+    raise AssertionError("no zs split intersects the fixture GT")
+
+
+def test_composed_map_parity_zero_shot(harness, tmp_path, monkeypatch):
+    """Same composed harness in ZERO-SHOT mode: the reference UPT is built
+    with the zs-filtered table (zs_object_to_target,
+    utils_tip...py:144-152) so its caches filter exactly like a zs run,
+    then — as the reference main does at eval (main_tip_finetune.py:868-872)
+    — the FULL table is swapped back in before test_hico. Our CLI runs with
+    --zs --zs-type and must reproduce the per-class AP vector and the
+    seen/unseen aggregates. Would have caught the filtered-prior-at-eval
+    bug (unseen mAP identically 0)."""
+    import types as _types
+
+    from ref_eval_engine import load_ref_pipeline, make_engine
+    from ref_upt import load_ref_upt
+    from test_full_model_parity import _RefPostProcess
+
+    import hoigen_tpu.cli.main_finetune as mf
+    import hoigen_tpu.engine.hoi_model as hm
+    from hoigen_tpu.engine.hoi_model import HOIModelConfig
+    from hoigen_tpu.models.clip.config import CLIPConfig
+    from hoigen_tpu.models.detr import DETRConfig
+    from hoigen_tpu.models.proposals import ProposalConfig
+    from hoigen_tpu.models.upt import UPTConfig
+    from hoigen_tpu.utils.config import RunConfig
+
+    zs_type = _pick_zs_type(harness["root"])
+    filtered = set(HICO.unseen_index[zs_type])
+    # zs_object_to_target: the train-time table with unseen pairs removed
+    zs_map = [[] for _ in range(80)]
+    for hoi, obj, verb in HICO.class_corr:
+        if hoi not in filtered:
+            zs_map[obj].append(verb)
+
+    clip_sd = torch.load(harness["clip_path"], weights_only=True)
+    from hoigen_tpu.cli.main_finetune import encode_class_texts
+    from hoigen_tpu.models.clip import torch_state_dict_to_params
+    clip_params_mine, clip_cfg_mine = torch_state_dict_to_params(
+        dict(clip_sd), use_adapter=True, adapter_pos="all",
+        adapter_num_layers=1, rng=jax.random.PRNGKey(66))
+    origin_text = encode_class_texts(clip_params_mine, clip_cfg_mine,
+                                     HICO.verbs_sentence)
+    obj_emb = encode_class_texts(clip_params_mine, clip_cfg_mine,
+                                 [t for _, t in HICO.obj_text_label])
+
+    ref_upt = load_ref_upt()
+    ref_pipe = load_ref_pipeline()
+    ref_clip_mod = sys.modules["CLIP_models_adapter_prior2"]
+    torch.manual_seed(SEED)
+    ref_clip = ref_clip_mod.build_model(
+        dict(clip_sd), use_adapter=True, adapter_pos="all",
+        adapter_num_layers=1).float().eval()
+    grng = np.random.default_rng(SEED + 2)
+    gen_feature = torch.as_tensor(
+        grng.normal(0, 1, (3 * 600, EMB)).astype(np.float32))
+    gen_target = torch.cat([torch.arange(600)] * 3)
+    gen_verb = torch.as_tensor(np.asarray(HICO.hoi_to_verb))
+    logits, boxes = harness["canned"]
+    args = _RefArgs(harness["pkl"])
+    args.zs, args.zs_type = True, zs_type
+    model = ref_upt.UPT(
+        args, None, None, None, None, None,
+        gen_feature, gen_target, gen_verb, HICO.object_to_verb,
+        _CannedDETR(logits, boxes), _RefPostProcess(),
+        _ClipHead(ref_clip.visual),
+        torch.as_tensor(origin_text), torch.as_tensor(obj_emb),
+        human_idx=0, num_classes=C, alpha=0.5, gamma=0.2,
+        box_score_thresh=0.2, fg_iou_thresh=0.5,
+        min_instances=3, max_instances=15,
+        object_class_to_target_class=zs_map,
+        object_n_verb_to_interaction=HICO.object_n_verb_to_interaction,
+        num_anno=torch.ones(C), use_mlp_proj=False)
+    model = model.float().eval()
+    # the reference main's eval-time swap (main_tip_finetune.py:868-872)
+    model.object_class_to_target_class = HICO.object_to_verb
+
+    factory = ref_pipe.DataFactory("hicodet", "test2015", harness["root"],
+                                   "ViT-B/16")
+    loader = torch.utils.data.DataLoader(
+        factory, batch_size=1, shuffle=False,
+        collate_fn=ref_pipe.custom_collate)
+    engine = make_engine(ref_pipe, model, loader, harness["tmp"],
+                         num_classes=C, print_interval=10 ** 6)
+    ap_ref = np.asarray(engine.test_hico(
+        loader, _types.SimpleNamespace(dataset="hicodet")), np.float64)
+    import torch.distributed as dist
+    if dist.is_initialized():
+        dist.destroy_process_group()
+    assert np.nansum(ap_ref) > 0
+
+    ref_pt = str(tmp_path / "ref_zs_ckpt.pt")
+    torch.save({"model_state_dict": model.state_dict(), "epoch": 1}, ref_pt)
+
+    def fake_detr_forward(params, images, mask, cfg):
+        b = images.shape[0]
+        return {"pred_logits": jnp.broadcast_to(jnp.asarray(logits),
+                                                (b, Q, 81)),
+                "pred_boxes": jnp.broadcast_to(jnp.asarray(boxes),
+                                               (b, Q, 4))}
+
+    monkeypatch.setattr(hm, "detr_forward", fake_detr_forward)
+
+    def tiny_model_config(cfg):
+        return HOIModelConfig(
+            clip=CLIPConfig(embed_dim=EMB, image_resolution=RES,
+                            vision_layers=L_V, vision_width=W_V,
+                            vision_patch_size=PATCH, context_length=CTX,
+                            transformer_width=W_T, transformer_layers=L_T,
+                            adapter_layers=tuple(range(L_V))),
+            detr=DETRConfig(num_classes=81),
+            upt=UPTConfig(num_classes=C, num_shot=NUM_SHOT,
+                          visual_output_dim=EMB, clip_resolution=RES,
+                          use_dino=False, use_clip_global=False,
+                          cache_model="gen_feat",
+                          hyper_lambda=cfg.hyper_lambda,
+                          proposals=ProposalConfig(),
+                          max_gt_pairs=cfg.max_gt_pairs,
+                          generate_feature=False),
+            dtype="float32")
+
+    monkeypatch.setattr(mf, "make_model_config", tiny_model_config)
+    monkeypatch.chdir(tmp_path)
+
+    result = mf.main(RunConfig(
+        data_root=harness["root"], output_dir=str(tmp_path / "out_zs"),
+        eval=True, resume=ref_pt, zs=True, zs_type=zs_type,
+        clip_model_path=harness["clip_path"], file1=harness["pkl"],
+        pretrained_detr=str(tmp_path / "missing_detr.pth"),
+        dino=False, clip_global=False, generate_feature=False,
+        num_classes=C, num_shot=NUM_SHOT, batch_size=2, num_workers=0,
+        max_gt_pairs=8, devices=1, seed=66))
+
+    ap_mine = np.asarray(result["ap"], np.float64)
+    np.testing.assert_allclose(ap_mine, ap_ref, atol=2e-3,
+                               err_msg="zs per-class AP diverged")
+    unseen = np.zeros(600, bool)
+    unseen[np.asarray(HICO.unseen_index[zs_type])] = True
+    assert abs(result["mAP"] - float(ap_ref.mean())) < 1e-3
+    assert abs(result["mAP_unseen"] - float(ap_ref[unseen].mean())) < 1e-3
+    assert abs(result["mAP_seen"] - float(ap_ref[~unseen].mean())) < 1e-3
+    # the fixture must actually exercise unseen classes at eval
+    assert float(ap_ref[unseen].sum()) > 0
