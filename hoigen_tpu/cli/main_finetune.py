@@ -131,8 +131,15 @@ def build_caches(cfg: RunConfig, clip_params, model_cfg, train_factory):
 
     if os.path.exists(cfg.file1):
         anno = load_pair_annotations(cfg.file1)
-        num_anno = train_factory.dataset.anno_interaction \
-            if cfg.dataset == "hicodet" else None
+        # 117-verb mode counts per-VERB annotations (anno_action), 600 per
+        # interaction (main_tip_finetune.py:860-862); feeds the rare-based
+        # label_choice shot policies
+        if cfg.dataset != "hicodet":
+            num_anno = None
+        elif num_classes == 117:
+            num_anno = train_factory.dataset.anno_action
+        else:
+            num_anno = train_factory.dataset.anno_interaction
         obj_to_verb = (train_factory.dataset.object_to_verb
                        if cfg.dataset == "hicodet"
                        else VCOCO_LABELS.object_to_verb)
