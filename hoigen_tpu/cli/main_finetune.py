@@ -115,7 +115,13 @@ def hico_prior_multihot(num_classes, zs, evaluating, filtered):
     Zero-shot TRAINING masks priors to seen classes (zs_object_to_target,
     utils_tip...py:144-152), but at eval/cache the reference swaps the FULL
     test-set table back in (main_tip_finetune.py:868-872) — without that,
-    unseen classes get zero prior and unseen mAP is identically 0."""
+    unseen classes get zero prior and unseen mAP is identically 0.
+
+    Deliberate divergence: the reference's swap gates on args.eval ONLY, so
+    its --cache under zs dumps .mat files with the FILTERED prior — unseen
+    detections can never appear in the official-toolkit results, which
+    defeats zero-shot evaluation. We treat that as an upstream oversight
+    and use the full table for --cache as well."""
     if zs and not evaluating:
         return HICO.seen_object_class_multihot(num_classes, filtered)
     return HICO.object_class_multihot(num_classes)
