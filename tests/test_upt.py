@@ -111,7 +111,8 @@ def test_prior_scores_math():
     pr = np.asarray(pr)
     assert pr.shape == (2, 1, 8, 7)
     # pair (x=0 human score .9, y=2 object class 2 score .8): verbs 1,3
-    pair_pos = int(np.nonzero((np.asarray(x) == 0) & (np.asarray(y) == 2))[0])
+    pair_pos = int(np.nonzero((np.asarray(x) == 0)
+                              & (np.asarray(y) == 2))[0][0])
     np.testing.assert_allclose(pr[0, 0, pair_pos, [1, 3]], 0.9 ** 2.8,
                                rtol=1e-5)
     np.testing.assert_allclose(pr[1, 0, pair_pos, [1, 3]], 0.8 ** 2.8,
