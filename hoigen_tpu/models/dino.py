@@ -13,10 +13,16 @@ from .detr.resnet import (LAYER_BLOCKS, fold_bn, init_resnet50_params,
                           resnet50_forward_nhwc)
 
 
-def dino_forward(params, images):
-    """images (B, 3, H, W) -> (B, 2048) global features."""
+def dino_forward(params, images, fused_tail=()):
+    """images (B, 3, H, W) -> (B, 2048) global features.
+
+    ``fused_tail`` opts layer tails into the Pallas bottleneck-chain kernel
+    (ops/fused_resnet.py) like the DETR tower; default OFF pending an
+    on-chip A/B at the 224 stream's 56x56 layer1 plane (the DETR win was
+    measured at 200x336 — smaller planes may not be bandwidth-bound)."""
     import jax.numpy as jnp
-    feat = resnet50_forward_nhwc(params, jnp.transpose(images, (0, 2, 3, 1)))
+    feat = resnet50_forward_nhwc(params, jnp.transpose(images, (0, 2, 3, 1)),
+                                 fused_tail=fused_tail)
     return feat.mean(axis=(1, 2))
 
 
