@@ -466,6 +466,150 @@ def test_composed_map_parity(harness, tmp_path, monkeypatch):
                - float(ap_ref[~rare].mean())) < 1e-3
 
 
+def test_composed_cache_parity(harness, tmp_path, monkeypatch):
+    """Official .mat dump composition parity: the REAL reference
+    cache_hico (utils_tip...py:413-492 — original-size rescale,
+    pixel-index conversion, per-interaction grouping, per-object file
+    layout) vs `cli.main_finetune --cache` on the shared fixture and
+    transplanted weights. Cells compare as row-sets (the reference groups
+    via argsort, whose intra-class order is unspecified)."""
+    import types as _types
+
+    import scipy.io as sio
+
+    from ref_eval_engine import load_ref_pipeline, make_engine
+    from ref_upt import load_ref_upt
+    from test_full_model_parity import _RefPostProcess
+
+    import hoigen_tpu.cli.main_finetune as mf
+    import hoigen_tpu.engine.hoi_model as hm
+    from hoigen_tpu.engine.hoi_model import HOIModelConfig
+    from hoigen_tpu.models.clip.config import CLIPConfig
+    from hoigen_tpu.models.detr import DETRConfig
+    from hoigen_tpu.models.proposals import ProposalConfig
+    from hoigen_tpu.models.upt import UPTConfig
+    from hoigen_tpu.utils.config import RunConfig
+
+    clip_sd = torch.load(harness["clip_path"], weights_only=True)
+    from hoigen_tpu.cli.main_finetune import encode_class_texts
+    from hoigen_tpu.models.clip import torch_state_dict_to_params
+    clip_params_mine, clip_cfg_mine = torch_state_dict_to_params(
+        dict(clip_sd), use_adapter=True, adapter_pos="all",
+        adapter_num_layers=1, rng=jax.random.PRNGKey(66))
+    origin_text = encode_class_texts(clip_params_mine, clip_cfg_mine,
+                                     HICO.verbs_sentence)
+    obj_emb = encode_class_texts(clip_params_mine, clip_cfg_mine,
+                                 [t for _, t in HICO.obj_text_label])
+
+    ref_upt = load_ref_upt()
+    ref_pipe = load_ref_pipeline()
+    ref_clip_mod = sys.modules["CLIP_models_adapter_prior2"]
+    torch.manual_seed(SEED)
+    ref_clip = ref_clip_mod.build_model(
+        dict(clip_sd), use_adapter=True, adapter_pos="all",
+        adapter_num_layers=1).float().eval()
+    grng = np.random.default_rng(SEED + 2)
+    gen_feature = torch.as_tensor(
+        grng.normal(0, 1, (3 * 600, EMB)).astype(np.float32))
+    logits, boxes = harness["canned"]
+    model = ref_upt.UPT(
+        _RefArgs(harness["pkl"]), None, None, None, None, None,
+        gen_feature, torch.cat([torch.arange(600)] * 3),
+        torch.as_tensor(np.asarray(HICO.hoi_to_verb)), HICO.object_to_verb,
+        _CannedDETR(logits, boxes), _RefPostProcess(),
+        _ClipHead(ref_clip.visual),
+        torch.as_tensor(origin_text), torch.as_tensor(obj_emb),
+        human_idx=0, num_classes=C, alpha=0.5, gamma=0.2,
+        box_score_thresh=0.2, fg_iou_thresh=0.5,
+        min_instances=3, max_instances=15,
+        object_class_to_target_class=HICO.object_to_verb,
+        object_n_verb_to_interaction=HICO.object_n_verb_to_interaction,
+        num_anno=torch.ones(C), use_mlp_proj=False)
+    # exact weights of the harness run (removes construction randomness)
+    sd = torch.load(harness["ref_pt"], weights_only=False)
+    model.load_state_dict(sd["model_state_dict"])
+    model = model.float().eval()
+
+    factory = ref_pipe.DataFactory("hicodet", "test2015", harness["root"],
+                                   "ViT-B/16")
+    loader = torch.utils.data.DataLoader(
+        factory, batch_size=1, shuffle=False,
+        collate_fn=ref_pipe.custom_collate)
+    engine = make_engine(ref_pipe, model, loader, harness["tmp"],
+                         num_classes=C, print_interval=10 ** 6)
+    ref_dir = str(tmp_path / "ref_mat")
+    engine.cache_hico(loader, ref_dir)
+    import torch.distributed as dist
+    if dist.is_initialized():
+        dist.destroy_process_group()
+
+    def fake_detr_forward(params, images, mask, cfg):
+        b = images.shape[0]
+        return {"pred_logits": jnp.broadcast_to(jnp.asarray(logits),
+                                                (b, Q, 81)),
+                "pred_boxes": jnp.broadcast_to(jnp.asarray(boxes),
+                                               (b, Q, 4))}
+
+    monkeypatch.setattr(hm, "detr_forward", fake_detr_forward)
+
+    def tiny_model_config(cfg):
+        return HOIModelConfig(
+            clip=CLIPConfig(embed_dim=EMB, image_resolution=RES,
+                            vision_layers=L_V, vision_width=W_V,
+                            vision_patch_size=PATCH, context_length=CTX,
+                            transformer_width=W_T, transformer_layers=L_T,
+                            adapter_layers=tuple(range(L_V))),
+            detr=DETRConfig(num_classes=81),
+            upt=UPTConfig(num_classes=C, num_shot=NUM_SHOT,
+                          visual_output_dim=EMB, clip_resolution=RES,
+                          use_dino=False, use_clip_global=False,
+                          cache_model="gen_feat",
+                          hyper_lambda=cfg.hyper_lambda,
+                          proposals=ProposalConfig(),
+                          max_gt_pairs=cfg.max_gt_pairs,
+                          generate_feature=False),
+            dtype="float32")
+
+    monkeypatch.setattr(mf, "make_model_config", tiny_model_config)
+    monkeypatch.chdir(tmp_path)
+
+    out_dir = str(tmp_path / "my_mat")
+    mf.main(RunConfig(
+        data_root=harness["root"], output_dir=out_dir,
+        cache=True, resume=harness["ref_pt"],
+        clip_model_path=harness["clip_path"], file1=harness["pkl"],
+        pretrained_detr=str(tmp_path / "missing_detr.pth"),
+        dino=False, clip_global=False, generate_feature=False,
+        num_classes=C, num_shot=NUM_SHOT, batch_size=2, num_workers=0,
+        max_gt_pairs=8, devices=1, seed=66))
+
+    n_nonempty = 0
+    for obj in range(1, 81):
+        a = sio.loadmat(os.path.join(ref_dir, f"detections_{obj:02d}.mat"),
+                        )["all_boxes"]
+        b = sio.loadmat(os.path.join(out_dir, f"detections_{obj:02d}.mat"),
+                        )["all_boxes"]
+        assert a.shape == b.shape, f"file {obj}: shape {a.shape}!={b.shape}"
+        for idx in np.ndindex(a.shape):
+            ra, rb = np.asarray(a[idx], np.float64), \
+                np.asarray(b[idx], np.float64)
+            if ra.size == 0 and rb.size == 0:
+                continue
+            assert ra.shape == rb.shape, f"file {obj} cell {idx}"
+            # order-free row matching: intra-class order is argsort-
+            # dependent in the reference, and sorting noisy floats can
+            # flip near-ties — greedily pair each row instead
+            used = np.zeros(len(rb), bool)
+            for r in ra:
+                d = np.abs(rb - r).max(axis=1)
+                d[used] = np.inf
+                j = int(d.argmin())
+                assert d[j] < 2e-3, (obj, idx, r, rb[j])
+                used[j] = True
+            n_nonempty += 1
+    assert n_nonempty > 10          # the fixture produces real detections
+
+
 def _pick_zs_type(root):
     """A zs split whose unseen set intersects the fixture's DETECTED GT
     classes (GT minus the per-image never-detected 'miss' classes) — so
