@@ -68,9 +68,17 @@ def _forward(trainable, frozen, buffers, batch, cfg: HOIModelConfig,
     images = device_normalize(batch["images"], dtype, pad_mask=image_mask)
     detr_out = detr_forward(frozen["detr"], images, image_mask, cfg.detr)
     detr_out = jax.lax.stop_gradient(detr_out)
+    pred_logits = detr_out["pred_logits"].astype(jnp.float32)
+    if pred_logits.shape[-1] == 92:
+        # COCO-pretrained V-COCO detector: gather the 91-slot logits down
+        # to 80 real classes (person first) + no-object BEFORE the softmax
+        # (reserve_indices, upt_tip...py:575-581,1600-1602)
+        from ..labels.vcoco import VCOCO_LABELS
+        pred_logits = pred_logits[
+            ..., np.asarray(VCOCO_LABELS.detr_reserve_indices)]
     # postprocess at the CLIP-stream frame (reference uses the CLIP image
     # sizes throughout, main path :1585-1605)
-    post = postprocess(detr_out["pred_logits"].astype(jnp.float32),
+    post = postprocess(pred_logits,
                        detr_out["pred_boxes"].astype(jnp.float32),
                        batch["clip_sizes"])
     dino_apply = None

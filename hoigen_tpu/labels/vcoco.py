@@ -19,6 +19,26 @@ NUM_INTERACTIONS = 236
 NUM_VERBS = 24
 NUM_OBJECTS = 81  # V-COCO uses 81 object categories (vcoco json 'objects')
 
+# the standard 91-slot COCO category table (public DETR convention: index
+# 0 and ten other slots are 'N/A' holes; person = slot 1). Used to gather
+# the COCO-pretrained DETR's 92 logits down to 81 (80 classes + no-object)
+COCO_91_CLASSES = (
+    "N/A", "person", "bicycle", "car", "motorcycle", "airplane", "bus",
+    "train", "truck", "boat", "traffic light", "fire hydrant", "N/A",
+    "stop sign", "parking meter", "bench", "bird", "cat", "dog", "horse",
+    "sheep", "cow", "elephant", "bear", "zebra", "giraffe", "N/A",
+    "backpack", "umbrella", "N/A", "N/A", "handbag", "tie", "suitcase",
+    "frisbee", "skis", "snowboard", "sports ball", "kite", "baseball bat",
+    "baseball glove", "skateboard", "surfboard", "tennis racket", "bottle",
+    "N/A", "wine glass", "cup", "fork", "knife", "spoon", "bowl", "banana",
+    "apple", "sandwich", "orange", "broccoli", "carrot", "hot dog", "pizza",
+    "donut", "cake", "chair", "couch", "potted plant", "bed", "N/A",
+    "dining table", "N/A", "N/A", "toilet", "N/A", "tv", "laptop", "mouse",
+    "remote", "keyboard", "cell phone", "microwave", "oven", "toaster",
+    "sink", "refrigerator", "N/A", "book", "clock", "vase", "scissors",
+    "teddy bear", "hair drier", "toothbrush",
+)
+
 _VOWELS = ("a", "e", "i", "o", "u")
 
 
@@ -112,6 +132,16 @@ class _Vcoco:
         for i, j, k in self.class_corr:
             out[j].append(k)
         return out
+
+    @property
+    def detr_reserve_indices(self):
+        """int list (81,): gather for the COCO-pretrained 92-logit DETR head
+        — the 80 real classes of the 91-slot COCO table (N/A holes dropped,
+        person first) + the no-object logit at 91. Mirrors
+        upt_tip...py:575-581/:1600-1602; applied BEFORE the postprocess
+        softmax so scores normalize over the gathered 81."""
+        return [i for i, n in enumerate(COCO_91_CLASSES) if n != "N/A"] \
+            + [91]
 
     def object_class_multihot(self, num_classes=NUM_VERBS):
         """float32[81, num_classes]: valid verb (24) or HOI (236) classes per

@@ -174,3 +174,21 @@ def test_tp_cache_equivalence_2x4():
             losses[name] = float(metrics["loss"])
     assert np.isfinite(losses["dp"])
     assert abs(losses["dp"] - losses["tp"]) < 1e-4, losses
+
+
+def test_vcoco_92_logit_gather():
+    """COCO-pretrained V-COCO detector logits (92) gather to 81 before the
+    postprocess softmax (reserve_indices, upt_tip...py:575-581,1600-1602):
+    person lands at label 0, N/A holes close up."""
+    from hoigen_tpu.labels.vcoco import VCOCO_LABELS
+    from hoigen_tpu.models.detr.model import postprocess
+
+    logits = np.full((1, 2, 92), -10.0, np.float32)
+    logits[0, 0, 1] = 5.0       # raw 'person' slot
+    logits[0, 1, 13] = 5.0      # raw 'stop sign' (after the N/A at 12)
+    idx = np.asarray(VCOCO_LABELS.detr_reserve_indices)
+    g = jnp.asarray(logits[..., idx])
+    assert g.shape == (1, 2, 81)
+    post = postprocess(g, jnp.zeros((1, 2, 4)),
+                       jnp.asarray([[64.0, 64.0]]))
+    assert np.asarray(post["labels"]).tolist() == [[0, 11]]

@@ -90,3 +90,19 @@ def test_vcoco_tables():
         assert lut[o, v] == i
     m = VCOCO_LABELS.object_class_multihot(24)
     assert m.sum() == 236
+
+
+def test_detr_reserve_indices_matches_reference():
+    """The 92->81 logit gather for COCO-pretrained V-COCO detectors must
+    use exactly the reference's reserve_indices (upt_tip...py:575-581):
+    the 91-slot COCO table's non-N/A entries + the no-object logit."""
+    import ast
+    import re
+    src = open("/root/reference/"
+               "upt_tip_cache_model_free_finetune_distill3.py").read()
+    m = re.search(r"self\.COCO_CLASSES = (\[[^\]]*\])", src)
+    names = ast.literal_eval(m.group(1))
+    expected = [i for i, n in enumerate(names) if n != "N/A"] + [91]
+    got = VCOCO_LABELS.detr_reserve_indices
+    assert got == expected
+    assert len(got) == 81 and got[0] == 1 and got[-1] == 91
