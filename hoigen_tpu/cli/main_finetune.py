@@ -223,7 +223,16 @@ def build_caches(cfg: RunConfig, clip_params, model_cfg, train_factory):
         # V-COCO object ids are 1-based (0 = background) while detector
         # labels are 0-based person-first; shift rows so multihot[label]
         # indexes the right object class
-        m = VCOCO_LABELS.object_class_multihot(num_classes)
+        if num_classes == 24:
+            # annotation-derived valid-action table like the reference
+            # (object_to_action, vcoco/vcoco.py:153-160, consumed at
+            # main_tip_finetune.py:850-851); equals the static 236-key
+            # table on the official trainval annotations
+            m = np.zeros((81, num_classes), np.float32)
+            for o, acts in train_factory.dataset.object_to_action.items():
+                m[o, acts] = 1.0
+        else:
+            m = VCOCO_LABELS.object_class_multihot(num_classes)
         multihot = m[1:]
     return UPTCaches(
         cache_h=pair.cache_h, cache_o=pair.cache_o, cache_u=pair.cache_u,

@@ -85,6 +85,19 @@ class VCOCODataset:
     def num_instances(self) -> List[int]:
         return list(self._num_instances)
 
+    @property
+    def object_to_action(self):
+        """{object id 1..80: sorted-by-first-occurrence action list} over
+        ALL annotations (reference vcoco.py:153-160; feeds the 24-class
+        prior table at main_tip_finetune.py:850-851). Annotation-derived —
+        equals the static 236-key table on the official trainval set."""
+        out = {o: [] for o in range(1, 81)}
+        for anno in self._anno:
+            for act, obj in zip(anno["actions"], anno["objects"]):
+                if act not in out[obj]:
+                    out[obj].append(act)
+        return out
+
 
 # V-COCO interaction names and the COCO-id compaction used by the official
 # annotation generator (/root/reference/vcoco/utilities/
