@@ -87,15 +87,14 @@ class VCOCODataset:
 
     @property
     def object_to_action(self):
-        """{object id 1..80: sorted-by-first-occurrence action list} over
-        ALL annotations (reference vcoco.py:153-160; feeds the 24-class
-        prior table at main_tip_finetune.py:850-851). Annotation-derived —
-        equals the static 236-key table on the official trainval set."""
+        """{object id 1..80: action list}, the inverse of the json's
+        ``action_to_object`` table (reference vcoco.py:152-160; feeds the
+        24-class prior table at main_tip_finetune.py:850-851)."""
         out = {o: [] for o in range(1, 81)}
-        for anno in self._anno:
-            for act, obj in zip(anno["actions"], anno["objects"]):
-                if act not in out[obj]:
-                    out[obj].append(act)
+        for act, objs in enumerate(self._action_to_object):
+            for o in objs:
+                if act not in out[o]:
+                    out[o].append(act)
         return out
 
 
