@@ -109,7 +109,8 @@ def encode_class_texts(clip_params, clip_cfg, texts, chunk=256,
     return emb / np.linalg.norm(emb, axis=-1, keepdims=True)
 
 
-def hico_prior_multihot(num_classes, zs, evaluating, filtered):
+def hico_prior_multihot(num_classes, zs, evaluating, filtered,
+                        zs_type=None):
     """Object-class -> valid-verb multihot for the prior mask.
 
     Zero-shot TRAINING masks priors to seen classes (zs_object_to_target,
@@ -117,12 +118,22 @@ def hico_prior_multihot(num_classes, zs, evaluating, filtered):
     test-set table back in (main_tip_finetune.py:868-872) — without that,
     unseen classes get zero prior and unseen mAP is identically 0.
 
+    Reference quirk reproduced: compute_prior_scores special-cases
+    zs_type=='rare_first' to index self.object_to_verb — the UNFILTERED
+    map (main_tip_finetune.py:680) — instead of the filtered
+    object_class_to_target_class (upt_tip...py:821-824), so RF-UC trains
+    with the full prior (the published RF-UC checkpoints depend on it).
+    117-mode only: at 600 classes that upstream branch indexes VERB ids
+    into the interaction-dim prior table (broken); there we keep the
+    evidently-intended filtered table.
+
     Deliberate divergence: the reference's swap gates on args.eval ONLY, so
     its --cache under zs dumps .mat files with the FILTERED prior — unseen
     detections can never appear in the official-toolkit results, which
     defeats zero-shot evaluation. We treat that as an upstream oversight
     and use the full table for --cache as well."""
-    if zs and not evaluating:
+    rf_quirk = zs_type == "rare_first" and num_classes == 117
+    if zs and not evaluating and not rf_quirk:
         return HICO.seen_object_class_multihot(num_classes, filtered)
     return HICO.object_class_multihot(num_classes)
 
@@ -218,7 +229,8 @@ def build_caches(cfg: RunConfig, clip_params, model_cfg, train_factory):
 
     if cfg.dataset == "hicodet":
         multihot = hico_prior_multihot(num_classes, cfg.zs,
-                                       cfg.eval or cfg.cache, filtered)
+                                       cfg.eval or cfg.cache, filtered,
+                                       zs_type=cfg.zs_type)
     else:
         # V-COCO object ids are 1-based (0 = background) while detector
         # labels are 0-based person-first; shift rows so multihot[label]

@@ -402,6 +402,18 @@ def test_zs_prior_multihot_full_at_eval():
         mf.hico_prior_multihot(600, zs=False, evaluating=False,
                                filtered=[]),
         HICO.object_class_multihot(600))
+    # reference quirk: rare_first at 117 TRAINS with the full map
+    # (compute_prior_scores indexes the unfiltered object_to_verb,
+    # upt_tip...py:821-824 + main_tip_finetune.py:680)
+    np.testing.assert_array_equal(
+        mf.hico_prior_multihot(117, zs=True, evaluating=False,
+                               filtered=filtered, zs_type="rare_first"),
+        HICO.object_class_multihot(117))
+    # ...but 600-mode keeps the intended filtered table (the upstream
+    # branch is broken there: verb ids into an interaction-dim prior)
+    assert not mf.hico_prior_multihot(
+        600, zs=True, evaluating=False, filtered=filtered,
+        zs_type="rare_first")[:, filtered].any()
 
 
 def test_adapter_pos_wiring():
