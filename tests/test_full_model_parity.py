@@ -196,7 +196,8 @@ def _pad_rows(ref, counts, num_shot=NUM_SHOT):
 
 
 def _build_ref(tmp_path, cache_model, generate_feature, evaluate,
-               args_overrides=None, use_mlp_proj=False):
+               args_overrides=None, use_mlp_proj=False, object_map=None,
+               counts=None):
     ref = load_ref_upt()
     ref_clip_mod = sys.modules["CLIP_models_adapter_prior2"]
     torch.manual_seed(SEED)
@@ -204,7 +205,10 @@ def _build_ref(tmp_path, cache_model, generate_feature, evaluate,
         dict(_tiny_state_dict()), use_adapter=True, adapter_pos="all",
         adapter_num_layers=1).float().eval()
     rng = np.random.default_rng(SEED + 2)
-    file1, counts = _synthetic_pkl(tmp_path)
+    file1, pkl_counts = _synthetic_pkl(tmp_path)
+    # zs builds filter cache rows, so the synthetic global-cache keys (and
+    # the counts the importer pads with) must follow the FILTERED layout
+    counts = pkl_counts if counts is None else counts
     r_total = int(counts.sum())
     clip_keys = torch.as_tensor(
         rng.normal(0, 1, (D, r_total)).astype(np.float32))
@@ -243,7 +247,8 @@ def _build_ref(tmp_path, cache_model, generate_feature, evaluate,
         human_idx=0, num_classes=C, alpha=0.5, gamma=0.2,
         box_score_thresh=0.2, fg_iou_thresh=0.5,
         min_instances=3, max_instances=8,
-        object_class_to_target_class=HICO.object_to_verb,
+        object_class_to_target_class=(object_map if object_map is not None
+                                      else HICO.object_to_verb),
         object_n_verb_to_interaction=HICO.object_n_verb_to_interaction,
         num_anno=torch.ones(C),
         use_mlp_proj=use_mlp_proj)
@@ -288,7 +293,8 @@ def _build_ref(tmp_path, cache_model, generate_feature, evaluate,
     return model, extras
 
 
-def _build_mine(ref_model, extras, cache_model, cfg_overrides=None):
+def _build_mine(ref_model, extras, cache_model, cfg_overrides=None,
+                multihot=None):
     counts = extras["counts"]
     clip_params, clip_cfg = torch_state_dict_to_params(
         {k: v for k, v in extras["clip_model"].state_dict().items()},
@@ -304,7 +310,8 @@ def _build_mine(ref_model, extras, cache_model, cfg_overrides=None):
         one_hots=one_hots_u, sample_lens=one_hots_u.sum(0),
         clip_global_keys=np.zeros((D, C * NUM_SHOT), np.float32),
         dino_keys=np.zeros((DINO_D, C * NUM_SHOT), np.float32),
-        object_class_multihot=HICO.object_class_multihot(C),
+        object_class_multihot=(multihot if multihot is not None
+                               else HICO.object_class_multihot(C)),
         object_embedding=extras["obj_emb"],
         origin_text_embeddings=extras["origin_text"],
         one_hots_u=one_hots_u,
@@ -439,6 +446,90 @@ def test_train_loss_parity(tmp_path):
                           images_clip, targets=targets, training=True)
     assert float(aux["n_p"]) > 0, "association produced no positives"
     np.testing.assert_allclose(float(loss), ref_loss, rtol=2e-4)
+
+
+@pytest.mark.parametrize("zs_type", ["unseen_verb", "rare_first"])
+def test_train_loss_parity_zero_shot(tmp_path, zs_type):
+    """Zero-shot TRAIN-side parity: the reference builds its caches with
+    the zs-filtered map and — except for rare_first — computes training
+    priors from it too; rare_first indexes the UNFILTERED object_to_verb
+    (the quirk at upt_tip...py:821-824, tensor from main:680). Both modes
+    must reproduce the reference interaction loss exactly."""
+    filtered = HICO.unseen_index[zs_type]
+    fset = set(filtered)
+    zs_map = [[] for _ in range(80)]
+    for hoi, obj, verb in HICO.class_corr:
+        if hoi not in fset:
+            zs_map[obj].append(verb)
+
+    # zs-filtered counts through the production builder (the reference
+    # drops filtered rows and zero-fills empty verbs, :676-708)
+    from hoigen_tpu.models.cache import (build_pair_cache,
+                                         load_pair_annotations)
+    pkl, _ = _synthetic_pkl(str(tmp_path))
+    pair = build_pair_cache(
+        load_pair_annotations(pkl), C, NUM_SHOT,
+        HICO.object_n_verb_to_interaction, zs_map,
+        filtered_hoi_idx=filtered, use_multi_hot=True)
+
+    ref_model, extras = _build_ref(
+        str(tmp_path), "gen_feat", generate_feature=False, evaluate=False,
+        args_overrides={"zs": True, "zs_type": zs_type}, object_map=zs_map,
+        counts=pair.counts)
+    ref_model.train()
+    ref_model.featmap_dropout.p = 0.0
+
+    multihot = (HICO.object_class_multihot(C) if zs_type == "rare_first"
+                else HICO.seen_object_class_multihot(C, filtered))
+    cfg, clip_cfg, params, buffers, dino_w = _build_mine(
+        ref_model, extras, "gen_feat", multihot=multihot)
+
+    rng = np.random.default_rng(SEED + 4)
+    images_clip = rng.normal(0, 1, (B, 3, RES, RES)).astype(np.float32)
+    imgs = [(torch.as_tensor(images_clip[i]),
+             torch.as_tensor(images_clip[i])) for i in range(B)]
+    _, canned_boxes = _canned_detections()
+    g = 2
+    tgts_ref, bh, bo, lab, val = [], [], [], [], []
+    for b in range(B):
+        gt = canned_boxes[b, :g * 2]
+        tgts_ref.append({
+            "boxes_h": torch.as_tensor(gt[:g]),
+            "boxes_o": torch.as_tensor(gt[g:2 * g]),
+            "labels": torch.as_tensor([5, 36]),
+            "size": torch.as_tensor([float(RES), float(RES)])})
+        bh.append(gt[:g])
+        bo.append(gt[g:2 * g])
+        lab.append([5, 36])
+        val.append([True] * g)
+    pad = cfg.max_gt_pairs
+    targets = {
+        "boxes_h": jnp.asarray(np.stack(
+            [np.pad(x, ((0, pad - g), (0, 0))) for x in bh])),
+        "boxes_o": jnp.asarray(np.stack(
+            [np.pad(x, ((0, pad - g), (0, 0))) for x in bo])),
+        "labels": jnp.asarray(np.stack(
+            [np.pad(x, (0, pad - g)) for x in lab])),
+        "valid": jnp.asarray(np.stack(
+            [np.pad(x, (0, pad - g)) for x in val])),
+    }
+    with torch.no_grad():
+        loss_dict = ref_model(imgs, tgts_ref)
+    ref_loss = float(loss_dict["interaction_loss"])
+    loss, aux = _run_mine(cfg, clip_cfg, params, buffers, dino_w,
+                          images_clip, targets=targets, training=True)
+    assert float(aux["n_p"]) > 0, "association produced no positives"
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=2e-4)
+
+    if zs_type == "rare_first":
+        # the quirk must be observable: a seen-filtered prior changes the
+        # loss on this fixture (else this test could not distinguish them)
+        buffers2 = dict(buffers)
+        buffers2["object_class_multihot"] = jnp.asarray(
+            HICO.seen_object_class_multihot(C, filtered))
+        loss2, _ = _run_mine(cfg, clip_cfg, params, buffers2, dino_w,
+                             images_clip, targets=targets, training=True)
+        assert abs(float(loss2) - ref_loss) > 1e-6
 
 
 def test_load_reference_checkpoint_head_only(tmp_path):
