@@ -768,3 +768,157 @@ def test_composed_map_parity_zero_shot(harness, tmp_path, monkeypatch):
     assert abs(result["mAP_seen"] - float(ap_ref[~unseen].mean())) < 1e-3
     # the fixture must actually exercise unseen classes at eval
     assert float(ap_ref[unseen].sum()) > 0
+
+
+def _synthetic_pkl_600(tmp):
+    """600-mode pair pkl: every interaction gets 1-2 rows (the reference's
+    600-class load_cache_model does NOT zero-fill seen classes with no
+    samples — torch.stack crashes — so full coverage is required, as on
+    the real pkl)."""
+    import pickle
+
+    rng = np.random.default_rng(SEED + 7)
+    anno = {}
+    for i, (hoi, obj, verb) in enumerate(HICO.class_corr):
+        n = 1 + (i % 2)
+        feats = rng.normal(0, 1, (3, n, EMB)).astype(np.float32)
+        bh = rng.uniform(0, 50, (n, 2))
+        bh = np.concatenate([bh, bh + rng.uniform(20, 40, (n, 2))], 1)
+        bo = rng.uniform(0, 50, (n, 2))
+        bo = np.concatenate([bo, bo + rng.uniform(20, 40, (n, 2))], 1)
+        anno[f"hico600_img_{i}.jpg"] = {
+            "huamn_features": feats[0], "object_features": feats[1],
+            "union_features": feats[2],
+            "boxes_h": bh.astype(np.float32),
+            "boxes_o": bo.astype(np.float32),
+            "verbs": np.full(n, verb, np.int64),
+            "objects": np.full(n, obj, np.int64),
+        }
+    path = os.path.join(tmp, "hico600_pairs.p")
+    with open(path, "wb") as f:
+        pickle.dump(anno, f)
+    return path
+
+
+def test_600_mode_reference_breakage_and_our_e2e(harness, tmp_path,
+                                                monkeypatch):
+    """600-interaction mode is BROKEN in the shipped reference: main
+    hardcodes cache_model='gen_feat' + generate_feature=True
+    (main_tip_finetune.py:444-445), and load_gen_model hardcodes
+    num_classes=117 for hicodet (upt_tip...py:861), so at 600 classes the
+    gen cache (117-space rows) cannot multiply the 600-space one_hots
+    (gen_label_* = one_hots_*, :477-489 vs :1156-1162) — the forward
+    raises. This test pins that breakage (no composed 600 oracle can
+    exist against the shipped main) and then runs OUR 600-mode eval end
+    to end on the same fixture."""
+    from ref_eval_engine import load_ref_pipeline
+    from ref_upt import load_ref_upt
+    from test_full_model_parity import _RefPostProcess
+
+    import hoigen_tpu.cli.main_finetune as mf
+    import hoigen_tpu.engine.hoi_model as hm
+    from hoigen_tpu.engine.hoi_model import HOIModelConfig
+    from hoigen_tpu.models.clip.config import CLIPConfig
+    from hoigen_tpu.models.detr import DETRConfig
+    from hoigen_tpu.models.proposals import ProposalConfig
+    from hoigen_tpu.models.upt import UPTConfig
+    from hoigen_tpu.utils.config import RunConfig
+
+    C6 = 600
+    pkl600 = _synthetic_pkl_600(str(tmp_path))
+    clip_sd = torch.load(harness["clip_path"], weights_only=True)
+    from hoigen_tpu.cli.main_finetune import encode_class_texts
+    from hoigen_tpu.models.clip import torch_state_dict_to_params
+    clip_params_mine, clip_cfg_mine = torch_state_dict_to_params(
+        dict(clip_sd), use_adapter=True, adapter_pos="all",
+        adapter_num_layers=1, rng=jax.random.PRNGKey(66))
+    origin_text = encode_class_texts(clip_params_mine, clip_cfg_mine,
+                                     HICO.hoi_prompts)
+    obj_emb = encode_class_texts(clip_params_mine, clip_cfg_mine,
+                                 [t for _, t in HICO.obj_text_label])
+
+    ref_upt = load_ref_upt()
+    ref_pipe = load_ref_pipeline()
+    ref_clip_mod = sys.modules["CLIP_models_adapter_prior2"]
+    torch.manual_seed(SEED)
+    ref_clip = ref_clip_mod.build_model(
+        dict(clip_sd), use_adapter=True, adapter_pos="all",
+        adapter_num_layers=1).float().eval()
+    grng = np.random.default_rng(SEED + 2)
+    gen_feature = torch.as_tensor(
+        grng.normal(0, 1, (3 * 600, EMB)).astype(np.float32))
+    logits, boxes = harness["canned"]
+    model = ref_upt.UPT(
+        _RefArgs(pkl600), None, None, None, None, None,
+        gen_feature, torch.cat([torch.arange(600)] * 3),
+        torch.as_tensor(np.asarray(HICO.hoi_to_verb)), HICO.object_to_verb,
+        _CannedDETR(logits, boxes), _RefPostProcess(),
+        _ClipHead(ref_clip.visual),
+        torch.as_tensor(origin_text), torch.as_tensor(obj_emb),
+        human_idx=0, num_classes=C6, alpha=0.5, gamma=0.2,
+        box_score_thresh=0.2, fg_iou_thresh=0.5,
+        min_instances=3, max_instances=15,
+        object_class_to_target_class=HICO.object_to_interaction,
+        object_n_verb_to_interaction=HICO.object_n_verb_to_interaction,
+        num_anno=torch.ones(C6), use_mlp_proj=False)
+    model = model.float().eval()
+
+    # the gen cache is 117-space while labels are 600-space: the shipped
+    # reference cannot evaluate 600-mode — pin the exact failure
+    factory = ref_pipe.DataFactory("hicodet", "test2015", harness["root"],
+                                   "ViT-B/16")
+    loader = torch.utils.data.DataLoader(
+        factory, batch_size=1, shuffle=False,
+        collate_fn=ref_pipe.custom_collate)
+    batch = next(iter(loader))
+    with torch.no_grad(), pytest.raises(RuntimeError,
+                                        match="cannot be multiplied"):
+        model(batch[0], batch[1])
+
+    def fake_detr_forward(params, images, mask, cfg):
+        b = images.shape[0]
+        return {"pred_logits": jnp.broadcast_to(jnp.asarray(logits),
+                                                (b, Q, 81)),
+                "pred_boxes": jnp.broadcast_to(jnp.asarray(boxes),
+                                               (b, Q, 4))}
+
+    monkeypatch.setattr(hm, "detr_forward", fake_detr_forward)
+
+    def tiny_model_config(cfg):
+        return HOIModelConfig(
+            clip=CLIPConfig(embed_dim=EMB, image_resolution=RES,
+                            vision_layers=L_V, vision_width=W_V,
+                            vision_patch_size=PATCH, context_length=CTX,
+                            transformer_width=W_T, transformer_layers=L_T,
+                            adapter_layers=tuple(range(L_V))),
+            detr=DETRConfig(num_classes=81),
+            upt=UPTConfig(num_classes=C6, num_shot=NUM_SHOT,
+                          visual_output_dim=EMB, clip_resolution=RES,
+                          use_dino=False, use_clip_global=False,
+                          cache_model="gen_feat",
+                          hyper_lambda=cfg.hyper_lambda,
+                          proposals=ProposalConfig(),
+                          max_gt_pairs=cfg.max_gt_pairs,
+                          generate_feature=False),
+            dtype="float32")
+
+    monkeypatch.setattr(mf, "make_model_config", tiny_model_config)
+    monkeypatch.chdir(tmp_path)
+
+    # no transplant: the broken reference ckpt carries 117-space gen rows
+    # that cannot map onto a 600-space cache — run our 600 pipeline with
+    # its own built cache instead
+    result = mf.main(RunConfig(
+        data_root=harness["root"], output_dir=str(tmp_path / "out600"),
+        eval=True,
+        clip_model_path=harness["clip_path"], file1=pkl600,
+        pretrained_detr=str(tmp_path / "missing_detr.pth"),
+        dino=False, clip_global=False, generate_feature=False,
+        num_classes=C6, num_shot=NUM_SHOT, batch_size=2, num_workers=0,
+        max_gt_pairs=8, devices=1, seed=66))
+
+    # OUR 600-mode runs end to end on the same fixture (beyond the
+    # shipped reference) with its own built cache
+    ap_mine = np.asarray(result["ap"], np.float64)
+    assert ap_mine.shape == (600,)
+    assert np.isfinite(result["mAP"]) and np.nansum(ap_mine) >= 0
