@@ -46,7 +46,7 @@ def _detr_batches(factory, params, cfg, batch_size, limit=None):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("task", choices=["dump", "gt", "eval"])
+    p.add_argument("task", choices=["dump", "gt", "eval", "vis"])
     p.add_argument("--dataset", default="hicodet")
     p.add_argument("--partition", default="test2015")
     p.add_argument("--data-root", default="./datasets")
@@ -67,6 +67,41 @@ def main(argv=None):
     if args.task == "gt":
         generate_gt_detections(dataset, args.out_dir)
         print(f"GT detections -> {args.out_dir}")
+        return
+
+    if args.task == "vis":
+        # GT pair renderer (hicodet/utilities/visualise_and_cache.py:38-71):
+        # per image, one PNG per HOI class present, human box blue, object
+        # green, a red centre line joining the pair
+        from PIL import ImageDraw
+        n = len(dataset) if args.limit is None else min(args.limit,
+                                                        len(dataset))
+        root = os.path.join(args.out_dir, args.partition)
+        for idx in range(n):
+            image = dataset.load_image(idx)
+            target = dataset.target(idx)
+            classes = np.asarray(target["hoi"])
+            for cls_idx in np.unique(classes):
+                img = image.copy()
+                canvas = ImageDraw.Draw(img)
+                for i in np.where(classes == cls_idx)[0]:
+                    b1 = np.asarray(target["boxes_h"][i], np.float64)
+                    b2 = np.asarray(target["boxes_o"][i], np.float64)
+                    canvas.rectangle(b1.tolist(), outline="#007CFF",
+                                     width=5)
+                    canvas.rectangle(b2.tolist(), outline="#46FF00",
+                                     width=5)
+                    ch = (b1[:2] + b1[2:]) / 2
+                    co = (b2[:2] + b2[2:]) / 2
+                    canvas.line(ch.tolist() + co.tolist(), fill="#FF4444",
+                                width=5)
+                    for c in (ch, co):
+                        canvas.ellipse((c - 5).tolist() + (c + 5).tolist(),
+                                       fill="#FF4444")
+                d = os.path.join(root, f"class_{int(cls_idx):03d}")
+                os.makedirs(d, exist_ok=True)
+                img.save(os.path.join(d, f"{idx}.png"))
+        print(f"GT visualisations -> {root}")
         return
 
     if args.task == "eval":

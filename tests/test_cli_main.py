@@ -515,6 +515,18 @@ def test_detections_cli(tiny_dataset, tmp_path, monkeypatch):
              "--batch-size", "2"])
     assert len(os.listdir(det_dir)) == 5
 
+    # vis: GT pair renderer (hicodet/utilities/visualise_and_cache.py) —
+    # one PNG per (image, HOI class present)
+    vis_dir = str(tmp_path / "vis")
+    dc.main(["vis", "--data-root", tiny_dataset, "--out-dir", vis_dir,
+             "--limit", "2"])
+    part = os.path.join(vis_dir, "test2015")
+    classes = os.listdir(part)
+    assert classes and all(c.startswith("class_") for c in classes)
+    pngs = [f for c in classes
+            for f in os.listdir(os.path.join(part, c))]
+    assert pngs and all(f.endswith(".png") for f in pngs)
+
 
 def test_mismatched_global_cache_ignored(tiny_dataset, tmp_path,
                                          monkeypatch, capsys):
