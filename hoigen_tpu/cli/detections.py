@@ -70,9 +70,10 @@ def main(argv=None):
         return
 
     if args.task == "vis":
-        # GT pair renderer (hicodet/utilities/visualise_and_cache.py:38-71):
-        # per image, one PNG per HOI class present, human box blue, object
-        # green, a red centre line joining the pair
+        # GT pair renderer ({hicodet,vcoco}/utilities/
+        # visualise_and_cache.py:38-75): per image, one PNG per HOI/action
+        # class present, human box blue, object green, a red centre line
+        # joining the pair
         from PIL import ImageDraw
         n = len(dataset) if args.limit is None else min(args.limit,
                                                         len(dataset))
@@ -80,7 +81,8 @@ def main(argv=None):
         for idx in range(n):
             image = dataset.load_image(idx)
             target = dataset.target(idx)
-            classes = np.asarray(target["hoi"])
+            classes = np.asarray(target["hoi"] if "hoi" in target
+                                 else target["actions"])
             for cls_idx in np.unique(classes):
                 img = image.copy()
                 canvas = ImageDraw.Draw(img)

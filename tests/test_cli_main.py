@@ -633,3 +633,14 @@ def test_vcoco_eval_cli(tiny_vcoco, tmp_path, monkeypatch, capsys):
     for k in report:
         assert 0.0 <= report[k]["mean"] <= 1.0
     assert "role_ap_scenario_1: mean AP" in capsys.readouterr().out
+
+    # vcoco GT pair renderer (vcoco/utilities/visualise_and_cache.py)
+    import hoigen_tpu.cli.detections as dc
+    monkeypatch.setattr(dc, "DataFactory", mf.DataFactory)
+    vis_dir = str(tmp_path / "vvis")
+    dc.main(["vis", "--dataset", "vcoco", "--partition", "test",
+             "--data-root", tiny_vcoco, "--out-dir", vis_dir,
+             "--limit", "2"])
+    part = os.path.join(vis_dir, "test")
+    assert any(f.endswith(".png") for c in os.listdir(part)
+               for f in os.listdir(os.path.join(part, c)))
