@@ -56,6 +56,14 @@ def _forward(trainable, frozen, buffers, batch, cfg: HOIModelConfig,
              training, rng=None):
     params = merge_params(trainable, frozen["upt"])
     dtype = jnp.dtype(cfg.dtype)
+    clip_cfg = cfg.clip
+    if clip_cfg.fused_attention and not training:
+        # the Pallas attention kernel's value in the CLIP tower is its
+        # flash-style VJP (no (B, H, L, L) backward materialization); at
+        # eval the score tensor is tiny (L=197) and XLA's fusion wins —
+        # measured 265.6 vs 261.3 img/s full-step A/B at batch 16
+        # (tools/bench_ab_fused.py --mode clipattn)
+        clip_cfg = dataclasses.replace(clip_cfg, fused_attention=False)
     # feeds ship uint8 pixels + (h, w) sizes; normalization and the padding
     # plane are reconstructed on-device (ops/pixels). Float feeds (synthetic
     # benches, parity tests) pass through unchanged.
@@ -84,7 +92,8 @@ def _forward(trainable, frozen, buffers, batch, cfg: HOIModelConfig,
     dino_apply = None
     if cfg.upt.use_dino and frozen["dino"] is not None:
         dino_apply = lambda im: jax.lax.stop_gradient(  # noqa: E731
-            dino_forward(frozen["dino"], im.astype(dtype)).astype(jnp.float32))
+            dino_forward(frozen["dino"], im.astype(dtype),
+                         nchw=cfg.detr.nchw_backbone).astype(jnp.float32))
     targets = None
     if training:
         targets = {"boxes_h": batch["boxes_h"], "boxes_o": batch["boxes_o"],
@@ -107,7 +116,7 @@ def _forward(trainable, frozen, buffers, batch, cfg: HOIModelConfig,
             cfg.upt.clip_resolution)
     return upt_forward(params, buffers, post,
                        images_clip,
-                       batch["clip_sizes"], cfg.clip, cfg.upt,
+                       batch["clip_sizes"], clip_cfg, cfg.upt,
                        dino_apply=dino_apply, targets=targets,
                        training=training, rng=rng, gen_sample=gen_sample)
 

@@ -24,11 +24,20 @@ class DETRConfig:
     # residual layers whose stride-1 tail blocks run the Pallas fused
     # bottleneck-chain kernel (ops/fused_resnet.py). Layer1's wide
     # (C=256 at stride 4) activation makes XLA's 3-passes-per-block
-    # pattern most expensive there: measured 16.8 -> 11.4 ms at the eval
-    # bucket; layer2 is at parity, layers 3-4 MXU-bound. Inference/frozen-
-    # backbone only (no VJP) — gated on TPU + bf16 + not remat_backbone,
-    # and cli/train_detr.py (which differentiates the backbone) clears it.
-    fused_resnet_tail: tuple = (0,)
+    # pattern most expensive there: measured 16.8 -> 11.4 ms STANDALONE at
+    # the eval bucket; layer2 is at parity, layers 3-4 MXU-bound. But in
+    # the FULL eval graph the kernel is a net LOSS — 255.7 vs 262.3 img/s
+    # median at batch 16 (tools/bench_ab_fused.py same-process A/B): the
+    # custom-call boundary forfeits more XLA cross-op fusion/overlap than
+    # the kernel saves. Default OFF; kept as an opt-in and a recorded dead
+    # end (like space-to-depth). Inference/frozen-backbone only (no VJP) —
+    # gated on TPU + bf16 + not remat_backbone, and cli/train_detr.py
+    # (which differentiates the backbone) clears it.
+    fused_resnet_tail: tuple = ()
+    # run the ResNet towers in NCHW (the round-2 layout) instead of NHWC —
+    # a perf-experiment knob for full-graph layout A/Bs
+    # (tools/bench_ab_fused.py --mode layout); math-identical.
+    nchw_backbone: bool = False
     # rematerialize backbone blocks in backward (jax.checkpoint) — the
     # offline DETR finetune needs it to fit full-backbone training in HBM
     # at the large buckets; the HOI pipeline runs the backbone frozen and

@@ -165,10 +165,16 @@ def detr_forward(params, images, image_mask, cfg: DETRConfig):
     fused_tail = cfg.fused_resnet_tail if (
         jax.default_backend() == "tpu" and images.dtype == jnp.bfloat16
         and not cfg.remat_backbone) else ()
-    feat = resnet50_forward_nhwc(params["backbone"],
-                                 jnp.transpose(images, (0, 2, 3, 1)),
-                                 remat=cfg.remat_backbone,
-                                 fused_tail=fused_tail)
+    if cfg.nchw_backbone:
+        from .resnet import resnet50_forward
+        feat = jnp.transpose(
+            resnet50_forward(params["backbone"], images,
+                             remat=cfg.remat_backbone), (0, 2, 3, 1))
+    else:
+        feat = resnet50_forward_nhwc(params["backbone"],
+                                     jnp.transpose(images, (0, 2, 3, 1)),
+                                     remat=cfg.remat_backbone,
+                                     fused_tail=fused_tail)
     b, fh, fw, c = feat.shape
     fmask = downsample_mask(image_mask, fh, fw)
     pos = sine_position_embedding(fmask, cfg.hidden_dim // 2)

@@ -13,14 +13,18 @@ from .detr.resnet import (LAYER_BLOCKS, fold_bn, init_resnet50_params,
                           resnet50_forward_nhwc)
 
 
-def dino_forward(params, images, fused_tail=()):
+def dino_forward(params, images, fused_tail=(), nchw=False):
     """images (B, 3, H, W) -> (B, 2048) global features.
 
     ``fused_tail`` opts layer tails into the Pallas bottleneck-chain kernel
-    (ops/fused_resnet.py) like the DETR tower; default OFF pending an
-    on-chip A/B at the 224 stream's 56x56 layer1 plane (the DETR win was
-    measured at 200x336 — smaller planes may not be bandwidth-bound)."""
+    (ops/fused_resnet.py) like the DETR tower; stays OFF — the DETR-tail
+    full-graph A/B showed the custom call is a net loss even at the 4x
+    larger plane (models/detr/config.py). ``nchw`` runs the round-2 layout
+    (perf-experiment knob, math-identical)."""
     import jax.numpy as jnp
+    if nchw:
+        from .detr.resnet import resnet50_forward
+        return resnet50_forward(params, images).mean(axis=(2, 3))
     feat = resnet50_forward_nhwc(params, jnp.transpose(images, (0, 2, 3, 1)),
                                  fused_tail=fused_tail)
     return feat.mean(axis=(1, 2))

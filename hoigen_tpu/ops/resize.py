@@ -30,6 +30,14 @@ from .pixels import IMAGENET_MEAN, IMAGENET_STD
 
 _EPS = 1e-8
 
+# TPU matmul precision for the resample einsums. HIGH (bf16x3) keeps
+# absolute error ~1e-3 at the [0, 255] pixel scale — two orders below the
+# 1-ulp uint8 quantization the PIL-emulation path rounds through and the
+# ±1/255 tolerance tests/test_resize.py asserts — at half the MXU passes
+# of HIGHEST (6-pass f32 emulation). On CPU (where the parity tests run)
+# precision is ignored and the math is exact f32 either way.
+_PREC = jax.lax.Precision.HIGH
+
 
 def _keys_cubic(x):
     """Keys bicubic kernel, a = -0.5 (PIL's BICUBIC filter)."""
@@ -90,7 +98,7 @@ def resize_image(image, size_hw, out_hw):
     wy = resize_weights(hb, oh, size_hw[0])
     wx = resize_weights(wb, ow, size_hw[1])
     return jnp.einsum("chw,hy,wx->cyx", image, wy, wx,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=_PREC)
 
 
 def _quant_u8(x):
@@ -112,10 +120,10 @@ def resize_image_pil_u8(image, size_hw, out_hw):
     wy = resize_weights(hb, oh, size_hw[0])
     wx = resize_weights(wb, ow, size_hw[1])
     tmp = jnp.einsum("chw,wx->chx", image, wx,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=_PREC)
     tmp = _quant_u8(tmp)
     out = jnp.einsum("chx,hy->cyx", tmp, wy,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=_PREC)
     return _quant_u8(out)
 
 
@@ -167,7 +175,7 @@ def crop_resize_square(image, box, resolution: int):
     wx = resize_weights(wb, resolution, side, win_lo=x0 - pad_x,
                         valid_lo=x0, valid_hi=x1, norm_len=n)
     return jnp.einsum("chw,hy,wx->cyx", image, wy, wx,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=_PREC)
 
 
 def crop_resize_square_pil_u8(image, box, resolution: int):
@@ -187,6 +195,6 @@ def crop_resize_square_pil_u8(image, box, resolution: int):
     wx = resize_weights(wb, resolution, side, win_lo=x0 - pad_x,
                         valid_lo=x0, valid_hi=x1, norm_len=n)
     tmp = _quant_u8(jnp.einsum("chw,wx->chx", image, wx,
-                               precision=jax.lax.Precision.HIGHEST))
+                               precision=_PREC))
     return _quant_u8(jnp.einsum("chx,hy->cyx", tmp, wy,
-                                precision=jax.lax.Precision.HIGHEST))
+                                precision=_PREC))
