@@ -21,14 +21,20 @@ img/s regardless of GPU. The north-star target in BASELINE.json is
 vs_baseline >= 3.
 """
 import json
+import os
 import time
 
 import jax
 import numpy as np
 
 REF_A100_EVAL_IPS = 20.0
-BATCH = 16    # with the fused encoder attention: b16 -> 275 img/s,
-              # b32 -> 274 (no gain; b16 keeps compile + HBM headroom)
+# Batch sweep, re-measured after the NHWC tower switch (r3): b16 ->
+# 270.9/269.0 img/s vs b32 -> 277.0/277.2 (two runs each; ~+3%, outside
+# the ~2 img/s run-to-run spread). Pre-NHWC the sweep was flat (b16 275
+# vs b32 274), so the layout change moved the optimum: the wider batch
+# amortizes the conv im2col/relayout overheads the NHWC tower exposes.
+# HOIGEN_BENCH_BATCH overrides for sweeps.
+BATCH = int(os.environ.get("HOIGEN_BENCH_BATCH", "32"))
 
 
 def main():
