@@ -35,6 +35,9 @@ REF_A100_EVAL_IPS = 20.0
 # amortizes the conv im2col/relayout overheads the NHWC tower exposes.
 # HOIGEN_BENCH_BATCH overrides for sweeps.
 BATCH = int(os.environ.get("HOIGEN_BENCH_BATCH", "32"))
+if BATCH <= 0:
+    raise SystemExit(
+        f"HOIGEN_BENCH_BATCH must be a positive integer, got {BATCH}")
 
 
 def main():
