@@ -431,7 +431,14 @@ def upt_forward(params, buffers, detr_post, images_clip, image_sizes,
 
     if not training:
         pp = prior[0] * prior[1]
-        det_scores = jax.nn.sigmoid(logits) * pp
+        # The reference structurally DROPS zero-prior pairs before scoring
+        # (postprocessing gathers torch.nonzero(pr), upt_tip...py:1425-1426)
+        # — a zero-prior slot can never emit a score, even if its logit is
+        # non-finite (e.g. NaN weights reaching the CLIP tower; the
+        # reference's own obj_affordance_query is uninitialized memory,
+        # upt_tip...py:599). Our dense layout must match that semantics:
+        # mask first so sigmoid(NaN)*0 can't leak NaN into padding slots.
+        det_scores = jnp.where(pp > 0, jax.nn.sigmoid(logits) * pp, 0.0)
         aux["detection_scores"] = det_scores                # (B, P, C)
         aux["objects"] = labels[:, y_idx]                   # (B, P)
         # compact form: only verbs of the pair's object class can be

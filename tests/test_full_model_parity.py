@@ -260,6 +260,15 @@ def _build_ref(tmp_path, cache_model, generate_feature, evaluate,
         torch.manual_seed(SEED + 5)
         model.obj_affordance_learner = torch.nn.MultiheadAttention(
             embed_dim=D, num_heads=1, dropout=0.3, batch_first=True)
+        # upstream BUG: obj_affordance_query is nn.Parameter(torch.empty(..))
+        # and is NEVER initialized (upt_tip...py:599 — "to be optimized");
+        # its value is recycled heap memory. In a fresh process the OS hands
+        # back zero pages (deterministic pass); after other tests the torch
+        # allocator recycles freed buffers, including NaN-bearing ones from
+        # NaN-filtering tests — the round-3 order-dependent parity flake.
+        # Give it a deterministic init so the transplant compares real math.
+        with torch.no_grad():
+            model.obj_affordance_query.normal_(0, D ** -0.5)
     if use_mlp_proj:
         # same tiny-dims rebuild: the reference hardcodes MLP(512,512,512)
         # (:604) == visual_output_dim at production scale
@@ -631,6 +640,43 @@ def test_eval_parity_optional_branches(tmp_path, case):
         ref_dets = ref_model(imgs)
     mine = _run_mine(cfg, clip_cfg, params, buffers, dino_w, images_clip)
     _compare_eval(ref_dets, mine, cfg.proposals)
+
+
+def test_eval_parity_nan_weight_regime(tmp_path):
+    """Regression for the round-3 order-dependent flake, constructing the
+    bad regime DIRECTLY: the reference's obj_affordance_query is
+    uninitialized memory (nn.Parameter(torch.empty(...)), upt_tip...py:599)
+    and the torch allocator can hand it NaN bytes recycled from earlier
+    frees. With a NaN query, NaN reaches the CLIP tower through the prior
+    tokens and every logit goes NaN — on BOTH sides. The reference's
+    postprocessing still only emits nonzero-prior pairs (torch.nonzero(pr),
+    :1425-1426), so its zero-prior slots read as 0 while a naive dense
+    sigmoid(logits)*prior puts NaN there (NaN*0=NaN). Our eval path must
+    reproduce the structural drop: zeros at zero-prior slots, bit-identical
+    NaN placement elsewhere."""
+    ref_model, extras = _build_ref(str(tmp_path), "gen_feat",
+                                   generate_feature=False, evaluate=True,
+                                   args_overrides=dict(obj_affordance=True))
+    with torch.no_grad():
+        ref_model.obj_affordance_query.fill_(float("nan"))
+    cfg, clip_cfg, params, buffers, dino_w = _build_mine(
+        ref_model, extras, "gen_feat",
+        cfg_overrides=dict(obj_affordance=True))
+    rng = np.random.default_rng(SEED + 3)
+    images_clip = rng.normal(0, 1, (B, 3, RES, RES)).astype(np.float32)
+    imgs = [(torch.as_tensor(images_clip[i]),
+             torch.as_tensor(images_clip[i])) for i in range(B)]
+    with torch.no_grad():
+        ref_dets = ref_model(imgs)
+    # the regime is real: the reference emits NaN scores
+    assert any(np.isnan(d["scores"].numpy()).any() for d in ref_dets)
+    mine = _run_mine(cfg, clip_cfg, params, buffers, dino_w, images_clip)
+    det_scores = np.asarray(mine["detection_scores"])
+    pair_valid = np.asarray(mine["pair_valid"])
+    # invalid pair slots (zero prior by construction) must be exactly 0 —
+    # never NaN — or padding leaks into the dense comparison and the meter
+    assert np.all(det_scores[~pair_valid] == 0.0)
+    _compare_eval(ref_dets, mine, cfg.proposals)   # equal_nan placement
 
 
 def test_ref_non_cbe_prior_broken(tmp_path):

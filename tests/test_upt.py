@@ -256,6 +256,50 @@ def test_obj_affordance_and_optional_branches():
     assert bool(jnp.isfinite(loss))
 
 
+def test_fully_masked_softmax_sites_finite():
+    """Audit of the two fully-masked-softmax sites (round-3 VERDICT):
+    a zero-valid-key row must stay FINITE on our side. torch emits NaN
+    rows there (softmax over all -inf) which the reference only survives
+    because its postprocessing drops zero-prior pairs structurally
+    (upt_tip...py:1425-1426); our masked dense layout zeroes the same
+    slots (models/upt.py det_scores where-guard), so finite garbage in
+    masked lanes is unobservable — NaN would not be."""
+    from hoigen_tpu.models.cache import random_caches
+    from hoigen_tpu.models.clip.model import init_clip_params, mha
+    from hoigen_tpu.models.upt import object_affordances
+
+    # 1) mha with an all-masked key row (an image with zero valid
+    # detections makes the adapter cross-attention see exactly this)
+    rng = jax.random.PRNGKey(3)
+    e, heads = 16, 2
+    p = {"w_qkv": jax.random.normal(rng, (3 * e, e)) * e ** -0.5,
+         "b_qkv": jnp.zeros(3 * e),
+         "w_out": jax.random.normal(jax.random.fold_in(rng, 1),
+                                    (e, e)) * e ** -0.5,
+         "b_out": jnp.zeros(e)}
+    q = jax.random.normal(jax.random.fold_in(rng, 2), (2, 5, e))
+    kv = jax.random.normal(jax.random.fold_in(rng, 3), (2, 7, e))
+    mask = jnp.zeros((2, 7), bool).at[1].set(True)   # image 1: no valid keys
+    out = mha(p, q, kv, heads, key_padding_mask=mask)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    # 2) object_affordances with an object class that has ZERO valid verbs
+    # (zero-shot seen-filtered multihots produce such rows for
+    # unseen-object splits)
+    cfg = UPTConfig(num_classes=7, num_shot=2,
+                    proposals=ProposalConfig(max_instances=3),
+                    clip_resolution=32, use_dino=False,
+                    cache_model="cache_feat", obj_affordance=True)
+    caches = random_caches(7, 2, num_objects=10, seed=0)
+    caches.object_class_multihot[4] = 0.0            # object 4: no verbs
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY_CLIP)
+    params, buffers = init_upt_params(jax.random.PRNGKey(1), cfg, caches,
+                                      clip_params)
+    aff = object_affordances(params, buffers, cfg)
+    assert aff.shape == (10, caches.origin_text_embeddings.shape[-1])
+    assert bool(jnp.all(jnp.isfinite(aff)))
+
+
 def test_language_aware_loss_oracle():
     """LA regularizer == torch CE between normalized text-adapter rows and
     the frozen class text embeddings (upt_tip...py:1653-1658)."""
