@@ -1,0 +1,177 @@
+"""eval/vcoco_ap.py vs the public vsrl_eval algorithm (tests/ref_vsrl_eval.py)
+on randomized scenes (round-4 VERDICT item 5).
+
+The scenes deliberately exercise the corners the toolkit's semantics turn on:
+score TIES (quantized scores), duplicate detections on one ground-truth
+person, NaN-role ground truth under both scenarios, multi-action persons,
+non-acting persons that SHADOW acting ones at higher IoU ("matched with an
+instance with no this action -> false positive"), images with zero persons,
+and classes with zero positives.
+"""
+import numpy as np
+import pytest
+
+import ref_vsrl_eval as oracle
+from hoigen_tpu.eval.vcoco_ap import agent_ap, role_ap
+
+A = 5
+ACTIONS = [f"v{a} obj" for a in range(A)]
+
+
+def _rand_box(rng, lo=0.0, hi=80.0, min_side=6.0, max_side=30.0):
+    x1 = rng.uniform(lo, hi)
+    y1 = rng.uniform(lo, hi)
+    return np.array([x1, y1, x1 + rng.uniform(min_side, max_side),
+                     y1 + rng.uniform(min_side, max_side)])
+
+
+def _jitter(rng, box, mag):
+    return box + rng.uniform(-mag, mag, 4)
+
+
+def _make_scene(rng, image_id):
+    """One image: person-level GT + dense detections in BOTH formats."""
+    P = int(rng.integers(0, 5))
+    persons = np.stack([_rand_box(rng) for _ in range(P)]) if P else \
+        np.zeros((0, 4))
+    acts = np.zeros((P, A), np.int64)
+    roles = np.full((P, A, 4), np.nan)
+    for p in range(P):
+        # some persons act in several classes, some act in none
+        for a in rng.permutation(A)[:int(rng.integers(0, 3))]:
+            acts[p, a] = 1
+            if rng.random() < 0.7:           # else NaN role (no object)
+                roles[p, a] = _rand_box(rng)
+    gt = {"gt_boxes": persons, "gt_actions": acts, "gt_role_boxes": roles}
+
+    N = int(rng.integers(0, 10))
+    det_agent, det_roles, det_scores, entries = [], [], [], []
+    for _ in range(N):
+        mode = rng.random()
+        if P and mode < 0.6:
+            # jittered copy of a GT person: IoUs straddle 0.5, and a
+            # non-acting person can out-overlap an acting one
+            base = persons[int(rng.integers(0, P))]
+            pbox = _jitter(rng, base, rng.uniform(0.0, 12.0))
+        else:
+            pbox = _rand_box(rng)
+        if P and rng.random() < 0.25:        # exact duplicate detection
+            pbox = persons[int(rng.integers(0, P))].copy()
+        rb = np.zeros((A, 4))
+        sc = np.zeros(A)
+        entry = {"image_id": image_id, "person_box": pbox.copy()}
+        for a in range(A):
+            r = rng.random()
+            if P and r < 0.4:
+                src = roles[int(rng.integers(0, P)), a]
+                rb[a] = (_jitter(rng, src, rng.uniform(0.0, 10.0))
+                         if np.isfinite(src).all() else 0.0)
+            elif r < 0.6:
+                rb[a] = 0.0                  # "agent reports no object"
+            else:
+                rb[a] = _rand_box(rng)
+            # quantized scores -> deliberate ties across detections
+            sc[a] = np.round(rng.random(), 1)
+            entry[f"v{a}_obj"] = np.concatenate([rb[a], [sc[a]]])
+            entry[f"v{a}_agent"] = np.round(rng.random(), 1)
+        det_agent.append(pbox)
+        det_roles.append(rb)
+        det_scores.append(sc)
+        entries.append(entry)
+    det = {
+        "agent_boxes": (np.stack(det_agent) if N else np.zeros((0, 4))),
+        "role_boxes": (np.stack(det_roles) if N else np.zeros((0, A, 4))),
+        "scores": (np.stack(det_scores) if N else np.zeros((0, A))),
+        "agent_scores": np.array([[e[f"v{a}_agent"] for a in range(A)]
+                                  for e in entries]).reshape(N, A),
+    }
+    ours_gt = {"persons": persons, "action_multihot": acts,
+               "role_boxes": roles}
+    return gt, det, ours_gt, entries
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_role_and_agent_ap_vs_vsrl_oracle(seed):
+    """20 scenes x 6 seeds = 120 randomized multi-image evaluations."""
+    rng = np.random.default_rng(1000 + seed)
+    for _ in range(20):
+        n_img = int(rng.integers(1, 5))
+        vcocodb, dets, ours_gt, results = [], [], {}, []
+        for i in range(n_img):
+            gt, det, og, entries = _make_scene(rng, image_id=i)
+            vcocodb.append(gt)
+            dets.append(det)
+            ours_gt[i] = og
+            results.extend(entries)
+        for scenario in (1, 2):
+            ref_aps, npos = oracle.do_role_eval(
+                vcocodb, dets, A, eval_type=f"scenario_{scenario}")
+            mine = role_ap(results, ours_gt, ACTIONS, scenario=scenario)
+            for a, name in enumerate(ACTIONS):
+                np.testing.assert_allclose(
+                    mine[name], ref_aps[a], atol=1e-12,
+                    err_msg=f"scenario {scenario} class {name}")
+            pos = npos > 0
+            if pos.any():
+                np.testing.assert_allclose(mine["mean"],
+                                           ref_aps[pos].mean(), atol=1e-12)
+        agent_dets = [dict(d, scores=d["agent_scores"]) for d in dets]
+        ref_ag, npos = oracle.do_agent_eval(vcocodb, agent_dets, A)
+        mine_ag = agent_ap(results, ours_gt, ACTIONS)
+        for a, name in enumerate(ACTIONS):
+            np.testing.assert_allclose(mine_ag[name], ref_ag[a],
+                                       atol=1e-12, err_msg=name)
+
+
+def test_pair_level_gt_reconstruction_matches_person_level():
+    """The production call site feeds pair-level GT (boxes_h/boxes_o/
+    actions). When every GT person acts (the only persons a pair-level
+    file can express), the reconstruction must score identically to the
+    explicit person-level form."""
+    rng = np.random.default_rng(7)
+    for _ in range(30):
+        gt, det, ours_gt, results = _make_scene(rng, image_id=0)
+        acting = ours_gt["action_multihot"].sum(1) > 0
+        persons = ours_gt["persons"][acting]
+        acts = ours_gt["action_multihot"][acting]
+        roles = ours_gt["role_boxes"][acting]
+        # person-level GT restricted to acting persons
+        person_form = {0: {"persons": persons, "action_multihot": acts,
+                           "role_boxes": roles}}
+        # equivalent pair-level rows; NaN-role positives are dropped (the
+        # instances-json producer does the same, so the two forms coincide
+        # only on annotated-role pairs -> zero out the NaN-role actions
+        acts_pairable = acts.copy()
+        bh, bo, aa = [], [], []
+        for p in range(persons.shape[0]):
+            for a in range(A):
+                if acts[p, a]:
+                    if np.isfinite(roles[p, a]).all():
+                        bh.append(persons[p])
+                        bo.append(roles[p, a])
+                        aa.append(a)
+                    else:
+                        acts_pairable[p, a] = 0
+        person_form_pairable = {0: {
+            "persons": persons, "action_multihot": acts_pairable,
+            "role_boxes": np.where(acts_pairable[..., None] > 0, roles,
+                                   np.nan)}}
+        # drop persons that lost all their actions (not expressible as
+        # pairs at all)
+        keep = acts_pairable.sum(1) > 0
+        person_form_pairable = {0: {
+            "persons": persons[keep],
+            "action_multihot": acts_pairable[keep],
+            "role_boxes": np.where(
+                acts_pairable[keep][..., None] > 0, roles[keep], np.nan)}}
+        pair_form = {0: {
+            "boxes_h": (np.stack(bh) if bh else np.zeros((0, 4))),
+            "boxes_o": (np.stack(bo) if bo else np.zeros((0, 4))),
+            "actions": np.asarray(aa, np.int64)}}
+        for scenario in (1, 2):
+            a_pair = role_ap(results, pair_form, ACTIONS, scenario)
+            a_person = role_ap(results, person_form_pairable, ACTIONS,
+                               scenario)
+            for name in ACTIONS + ["mean"]:
+                np.testing.assert_allclose(a_pair[name], a_person[name],
+                                           atol=1e-12, err_msg=name)
