@@ -195,11 +195,16 @@ def make_eval_step(cfg: HOIModelConfig):
 
 
 def make_example_batch(cfg: HOIModelConfig, batch_size=2, detr_hw=(256, 256),
-                       seed=0, max_gt=8, device_clip_stream=False):
+                       seed=0, max_gt=8, device_clip_stream=False,
+                       object_class_multihot=None):
     """Synthetic batch with the right static shapes (tests/bench/dryrun).
 
     ``device_clip_stream``: ship the production feed — uint8 DETR pixels +
     (h, w) sizes, no host 224 stream (it is derived on-device, ops/resize).
+    ``object_class_multihot``: optional (O, C) table; when given, the
+    synthetic gen-pair's verb label is drawn from its object's valid verb
+    set, so the positive survives the prior mask and the train loss is
+    non-trivial even with random detector weights.
     """
     rng = np.random.default_rng(seed)
     h, w = detr_hw
@@ -231,18 +236,25 @@ def make_example_batch(cfg: HOIModelConfig, batch_size=2, detr_hw=(256, 256),
                                (batch_size, max_gt)).astype(np.int32),
         "gt_valid": np.tile(np.arange(max_gt) < 3, (batch_size, 1)),
     } | ({} if not cfg.upt.generate_feature else _example_gen_sample(
-        rng, batch_size, cfg.upt))
+        rng, batch_size, cfg.upt, object_class_multihot))
 
 
-def _example_gen_sample(rng, batch_size, upt_cfg):
+def _example_gen_sample(rng, batch_size, upt_cfg, object_class_multihot=None):
     d = upt_cfg.visual_output_dim
-    verbs = rng.integers(0, upt_cfg.num_classes, batch_size)
+    if object_class_multihot is not None:
+        table = np.asarray(object_class_multihot) > 0
+        objs = rng.integers(0, table.shape[0], batch_size)
+        verbs = np.asarray([rng.choice(np.flatnonzero(table[o]))
+                            for o in objs], np.int64)
+    else:
+        objs = rng.integers(0, 2, batch_size)
+        verbs = rng.integers(0, upt_cfg.num_classes, batch_size)
     mh = np.zeros((batch_size, upt_cfg.num_classes), np.float32)
     mh[np.arange(batch_size), verbs] = 1.0
     return {
         "gen_hum": rng.normal(size=(batch_size, d)).astype(np.float32),
         "gen_obj": rng.normal(size=(batch_size, d)).astype(np.float32),
         "gen_uni": rng.normal(size=(batch_size, d)).astype(np.float32),
-        "gen_obj_cls": rng.integers(0, 2, batch_size).astype(np.int32),
+        "gen_obj_cls": objs.astype(np.int32),
         "gen_verb_multihot": mh,
     }

@@ -236,7 +236,10 @@ def compute_prior_scores(scores, labels, pair_valid, object_class_multihot,
 # logits (compute_roi_embeddings cache math, :1149-1207)
 # --------------------------------------------------------------------------
 def _cache_branch(feats, w, b, one_hots, sample_lens, use_pallas=False):
-    if use_pallas:
+    # backend-gated like the fused attention paths (detr/model.py,
+    # ops/attention.py): on CPU the flag falls back to the identical XLA
+    # math instead of an uncompilable pallas_call
+    if use_pallas and jax.default_backend() == "tpu":
         import jax.numpy as _jnp
         from ..ops.pallas_cache import fused_cache_logits
         # bf16 MXU inputs + f32 accumulation: 4.7x the unfused XLA pair

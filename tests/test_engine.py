@@ -192,3 +192,57 @@ def test_vcoco_92_logit_gather():
     post = postprocess(g, jnp.zeros((1, 2, 4)),
                        jnp.asarray([[64.0, 64.0]]))
     assert np.asarray(post["labels"]).tolist() == [[0, 11]]
+
+
+def test_multistep_1_vs_8_device_equivalence():
+    """K optimizer steps on a 1-device mesh vs an 8-device dp mesh, SAME
+    global batch sequence and per-step rngs: the loss trajectory and the
+    final trainable params must agree (round-4 VERDICT item 4 — DDP
+    semantics, pocket/core/distributed.py:103-146 + the psum-free global
+    normalization argued in models/upt.py::interaction_loss_sum)."""
+    import jax
+    sys = __import__("sys")
+    sys.path.insert(0, ".")
+    import __graft_entry__ as ge
+    from hoigen_tpu.engine.hoi_model import make_example_batch, \
+        make_optimizer, make_train_step
+    from hoigen_tpu.parallel import make_mesh, replicate, shard_batch, \
+        shard_cache_rows
+
+    cfg, trainable, frozen, buffers, detr_hw = ge._flagship(tiny=True)
+    opt = make_optimizer(lr_drop_step=2)(trainable)
+    step = make_train_step(cfg, opt)
+    batches = [make_example_batch(cfg, batch_size=8, detr_hw=detr_hw,
+                                  seed=100 + s) for s in range(4)]
+
+    def run(n_data):
+        mesh = make_mesh(n_data=n_data)
+        with mesh:
+            rep = replicate(mesh)
+            tr = shard_cache_rows(mesh, trainable)
+            bu = shard_cache_rows(mesh, buffers)
+            fz = jax.device_put(frozen, rep)
+            os_ = jax.device_put(opt.init(trainable), rep)
+            jstep = jax.jit(step)
+            losses = []
+            for s, batch in enumerate(batches):
+                sharded = shard_batch(mesh, batch)
+                tr, os_, metrics = jstep(tr, os_, fz, bu, sharded,
+                                         jax.random.PRNGKey(200 + s))
+                losses.append(float(metrics["loss"]))
+            return losses, jax.device_get(tr)
+
+    losses_1, tr_1 = run(1)
+    losses_8, tr_8 = run(8)
+    assert all(np.isfinite(losses_1))
+    np.testing.assert_allclose(losses_1, losses_8, rtol=1e-5, atol=1e-6)
+    flat_1 = jax.tree_util.tree_leaves_with_path(tr_1)
+    flat_8 = jax.tree_util.tree_leaves(tr_8)
+    assert len(flat_1) == len(flat_8)
+    for (path, a), b in zip(flat_1, flat_8):
+        if a is None or b is None:
+            assert a is None and b is None
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
