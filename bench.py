@@ -95,6 +95,30 @@ def main():
     log("bench: compiling eval step...")
     carry = step(trainable, frozen, buffers, batch, np.float32(0))
     _ = np.asarray(carry)
+
+    # XLA's own FLOP count for the compiled step (r4 VERDICT item 9): makes
+    # the bench self-standing — MFU against the chip's datasheet peak does
+    # not depend on the extrapolated A100 denominator.
+    flops_per_step = None
+    try:
+        ca = step.lower(trainable, frozen, buffers, batch,
+                        np.float32(0)).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_step = float(ca["flops"])
+    except Exception as e:              # cost analysis is best-effort
+        log(f"bench: cost_analysis unavailable ({e})")
+    # bf16 dense peak by device kind (datasheet); the axon relay's
+    # practical matmul ceiling measured on this box is ~103 TFLOP/s
+    # (STATUS.md round-2 findings) — MFU vs datasheet is the honest
+    # lower figure
+    kind = jax.devices()[0].device_kind.lower()
+    peak = None
+    for tag, tflops in (("v5 lite", 197.0), ("v5e", 197.0),
+                        ("v5p", 459.0), ("v4", 275.0), ("v6", 918.0)):
+        if tag in kind:
+            peak = tflops * 1e12
+            break
     log("bench: timing...")
 
     # K steps chained through the carry scalar (a real data dependency the
@@ -114,12 +138,18 @@ def main():
     dt = float(np.median(dts))
     ips = BATCH / dt
 
-    print(json.dumps({
+    out = {
         "metric": "hicodet_eval_images_per_sec_per_chip",
         "value": round(float(ips), 2),
         "unit": "images/s",
         "vs_baseline": round(float(ips) / REF_A100_EVAL_IPS, 2),
-    }))
+    }
+    if flops_per_step is not None:
+        achieved = flops_per_step / dt
+        out["model_tflops_per_sec"] = round(achieved / 1e12, 1)
+        if peak is not None:
+            out["mfu"] = round(achieved / peak, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
