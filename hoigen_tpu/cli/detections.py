@@ -18,7 +18,7 @@ import os
 import numpy as np
 
 from ..data.detections import dump_detections, eval_detections, \
-    generate_gt_detections
+    generate_gt_detections, remap_detections
 from ..data.factory import DataFactory, collate_batch
 
 
@@ -46,7 +46,7 @@ def _detr_batches(factory, params, cfg, batch_size, limit=None):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("task", choices=["dump", "gt", "eval", "vis"])
+    p.add_argument("task", choices=["dump", "gt", "eval", "vis", "remap"])
     p.add_argument("--dataset", default="hicodet")
     p.add_argument("--partition", default="test2015")
     p.add_argument("--data-root", default="./datasets")
@@ -58,7 +58,20 @@ def main(argv=None):
     p.add_argument("--score-thresh", type=float, default=0.0)
     p.add_argument("--min-iou", type=float, default=0.5)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--label-map", default="",
+                   help="remap: json mapping of source label id (string) -> "
+                        "HICO-80 id, e.g. the reference's coco80tohico80.json")
     args = p.parse_args(argv)
+
+    if args.task == "remap":
+        # external-detector label surgery (the legacy Faster-RCNN prep,
+        # hicodet/detections/preprocessing.py) — no dataset/model needed
+        import json as _json
+        with open(args.label_map) as f:
+            label_map = _json.load(f)
+        n = remap_detections(args.det_dir, args.out_dir, label_map)
+        print(f"remapped {n} detection files -> {args.out_dir}")
+        return
 
     factory = DataFactory(args.dataset, args.partition, args.data_root,
                           training=False)

@@ -58,6 +58,38 @@ def generate_gt_detections(dataset, out_dir: str):
                        "scores": [1.0] * len(boxes)}, f)
 
 
+def remap_detections(det_dir: str, out_dir: str, label_map: dict,
+                     filenames=None) -> int:
+    """Remap per-image detection jsons from an EXTERNAL detector's label
+    space (e.g. torchvision Faster R-CNN's COCO-91 ids) into HICO-80 order,
+    dropping detections of classes absent from the map — the label
+    surgery of the reference's legacy Faster-RCNN prep
+    (/root/reference/hicodet/detections/preprocessing.py:16-63, which
+    loads coco80tohico80.json and pops unmapped entries). Keys of
+    ``label_map`` are source ids as strings (the json convention the
+    reference uses); returns the number of files written."""
+    os.makedirs(out_dir, exist_ok=True)
+    names = filenames if filenames is not None else sorted(
+        n for n in os.listdir(det_dir) if n.endswith(".json"))
+    written = 0
+    for name in names:
+        path = os.path.join(det_dir, name)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            det = json.load(f)
+        keep = [(box, label_map[str(lab)], score)
+                for box, lab, score in zip(det["boxes"], det["labels"],
+                                           det["scores"])
+                if str(lab) in label_map]
+        with open(os.path.join(out_dir, name), "w") as f:
+            json.dump({"boxes": [k[0] for k in keep],
+                       "labels": [k[1] for k in keep],
+                       "scores": [k[2] for k in keep]}, f)
+        written += 1
+    return written
+
+
 def eval_detections(det_dir: str, dataset, num_classes: int = 80,
                     min_iou: float = 0.5, algorithm: str = "11P",
                     limit: Optional[int] = None) -> np.ndarray:

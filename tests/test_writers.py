@@ -186,3 +186,32 @@ def test_generate_vcoco_annotations_roundtrip(tmp_path):
     # COCO id 44 (bottle) -> contiguous index 40 in the background-first list
     assert ds.objects[t["objects"][0]] == "bottle"
     assert ds.filename(0).startswith("COCO_train2014_")
+
+
+def test_remap_detections(tmp_path):
+    """External-detector label surgery through the CLI (the legacy
+    Faster-RCNN prep: hicodet/detections/preprocessing.py:16-63 — remap
+    COCO ids via coco80tohico80.json, drop unmapped classes)."""
+    import json
+    import subprocess
+    import sys
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    json.dump({"boxes": [[0, 0, 10, 10], [1, 1, 5, 5], [2, 2, 8, 8]],
+               "labels": [1, 7, 99],          # 99 unmapped (deprecated id)
+               "scores": [0.9, 0.8, 0.7]},
+              open(src / "im_0.json", "w"))
+    json.dump({"1": 0, "7": 14}, open(tmp_path / "map.json", "w"))
+
+    out = tmp_path / "hico"
+    proc = subprocess.run(
+        [sys.executable, "-m", "hoigen_tpu.cli.detections", "remap",
+         "--det-dir", str(src), "--out-dir", str(out),
+         "--label-map", str(tmp_path / "map.json")],
+        capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
+    det = json.load(open(out / "im_0.json"))
+    assert det["labels"] == [0, 14]
+    assert det["boxes"] == [[0, 0, 10, 10], [1, 1, 5, 5]]
+    assert det["scores"] == [0.9, 0.8]
