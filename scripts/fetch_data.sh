@@ -101,6 +101,13 @@ for part in train2015 test2015; do
         "[warn] fetch instances_${part}.json from the fredzzhang/hicodet repo"
 done
 
+# ---- COCO-pretrained DETR-R50 (V-COCO detector; the reference builds the
+#      91-class COCO detector for V-COCO, detr/models/detr.py:317-320) ----
+if [ "${FETCH_VCOCO:-0}" = "1" ]; then
+    fetch_url "https://dl.fbaipublicfiles.com/detr/detr-r50-e632da11.pth" \
+              "checkpoints/detr-r50-e632da11.pth"
+fi
+
 # ---- V-COCO (COCO 2014 images + in-repo annotation producer) -------------
 if [ "${FETCH_VCOCO:-0}" = "1" ]; then
     for part in train2014 val2014; do

@@ -175,3 +175,55 @@ def test_pair_level_gt_reconstruction_matches_person_level():
             for name in ACTIONS + ["mean"]:
                 np.testing.assert_allclose(a_pair[name], a_person[name],
                                            atol=1e-12, err_msg=name)
+
+
+def test_vsrl_golden_fixture():
+    """Algorithm-vs-BINARY certification (CAPTURE_DAY.md item 2): when
+    tests/fixtures/vsrl_golden.npz exists (captured by
+    tools/capture_vsrl_fixture.py in an env with the real s-gupta/v-coco
+    toolkit), both hoigen_tpu/eval/vcoco_ap.py and the in-repo
+    transcription must reproduce the actual toolkit's per-class APs on the
+    stored scenes. Skipped until the fixture is captured."""
+    import os
+    import pickle
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "vsrl_golden.npz")
+    if not os.path.exists(path):
+        pytest.skip("vsrl_golden.npz not captured yet (see CAPTURE_DAY.md)")
+    data = np.load(path, allow_pickle=False)
+    n_runs = int(data["n_runs"])
+    num_actions = int(data["num_actions"])
+    actions = [f"v{a} obj" for a in range(num_actions)]
+    for r in range(n_runs):
+        scenes = pickle.loads(data[f"run{r}_scenes"].tobytes())
+        vcocodb, dets, entries = (scenes["vcocodb"], scenes["dets"],
+                                  scenes["entries"])
+        ours_gt = {
+            i: {"persons": np.asarray(g["gt_boxes"]),
+                "action_multihot": np.asarray(g["gt_actions"]),
+                "role_boxes": np.asarray(g["gt_role_boxes"])}
+            for i, g in enumerate(vcocodb)}
+        npos = sum(np.asarray(g["gt_actions"]).reshape(-1, num_actions)
+                   .sum(0) for g in vcocodb)
+        live = np.asarray(npos) > 0
+        for scen in (1, 2):
+            golden = data[f"run{r}_role_ap_s{scen}"]
+            mine = role_ap(entries, ours_gt, actions, scenario=scen)
+            ref_aps, _ = oracle.do_role_eval(
+                vcocodb, dets, num_actions, eval_type=f"scenario_{scen}")
+            for a in np.where(live)[0]:
+                np.testing.assert_allclose(
+                    mine[actions[a]], golden[a], atol=1e-10,
+                    err_msg=f"run {r} s{scen} ours vs toolkit class {a}")
+                np.testing.assert_allclose(
+                    ref_aps[a], golden[a], atol=1e-10,
+                    err_msg=f"run {r} s{scen} transcription vs toolkit "
+                            f"class {a}")
+        golden = data[f"run{r}_agent_ap"]
+        agent_dets = [dict(d, scores=d["agent_scores"]) for d in dets]
+        mine_ag = agent_ap(entries, ours_gt, actions)
+        ref_ag, _ = oracle.do_agent_eval(vcocodb, agent_dets, num_actions)
+        for a in np.where(live)[0]:
+            np.testing.assert_allclose(mine_ag[actions[a]], golden[a],
+                                       atol=1e-10, err_msg=f"agent {a}")
+            np.testing.assert_allclose(ref_ag[a], golden[a], atol=1e-10)

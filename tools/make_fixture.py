@@ -49,10 +49,56 @@ def build(root: str, n_images: int = 5, seed: int = 0) -> str:
     return root
 
 
+def build_vcoco(root: str, n_images: int = 4, seed: int = 0) -> str:
+    """V-COCO fixture: instances_vcoco_{trainval,test}.json over tiny COCO
+    -named JPEGs, real 24-action/80-object label surface from
+    hoigen_tpu.labels.VCOCO_LABELS (schema as
+    /root/reference/vcoco/vcoco.py:33-204)."""
+    from PIL import Image
+    from hoigen_tpu.labels import VCOCO_LABELS as V
+
+    rng = np.random.default_rng(seed)
+    actions = [V.values[next(i for i, k in enumerate(V.keys)
+                             if k[0] == a)][0] for a in range(24)]
+    objects = ["background"] + list(V.object_name)
+    a2o = [sorted({k[1] for k in V.keys if k[0] == a}) for a in range(24)]
+    os.makedirs(root, exist_ok=True)
+    for part, img_dir_name, n in (("trainval", "train2014", n_images),
+                                  ("test", "val2014", n_images)):
+        img_dir = os.path.join(root, "images", img_dir_name)
+        os.makedirs(img_dir, exist_ok=True)
+        annos, images = [], []
+        for i in range(n):
+            w, h = 64, 48
+            name = f"COCO_{img_dir_name}_{i:012d}.jpg"
+            Image.fromarray(rng.integers(0, 255, (h, w, 3),
+                                         dtype=np.uint8)) \
+                .save(os.path.join(img_dir, name))
+            k = int(rng.integers(1, 3))
+            acts = rng.integers(0, 24, k).tolist()
+            objs = [int(rng.choice(a2o[a])) for a in acts]
+            annos.append({"boxes_h": [[2, 2, 30, 30]] * k,
+                          "boxes_o": [[5, 5, 40, 40]] * k,
+                          "actions": acts, "objects": objs,
+                          "file_name": name})
+            images.append(1000 + i)
+        inst = {"annotations": annos, "classes": actions,
+                "objects": objects, "images": images,
+                "action_to_object": a2o}
+        json.dump(inst, open(os.path.join(
+            root, f"instances_vcoco_{part}.json"), "w"))
+    return root
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("out_dir")
     p.add_argument("--images", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dataset", default="hicodet",
+                   choices=["hicodet", "vcoco"])
     a = p.parse_args()
-    print(build(a.out_dir, a.images, a.seed))
+    if a.dataset == "vcoco":
+        print(build_vcoco(a.out_dir, a.images, a.seed))
+    else:
+        print(build(a.out_dir, a.images, a.seed))
