@@ -28,22 +28,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pinned_precision(dtype):
+    """Dot precision pinned inside the kernel so ambient
+    jax.default_matmul_precision contexts cannot change (or break) the
+    kernel's math (see ops/pallas_cache.py for the two measured failure
+    modes: Mosaic "Bad lhs type" on bf16 + ambient-highest, and a device
+    wedge on f32 + pinned HIGHEST).  DEFAULT is the only contract proven
+    safe for every operand dtype on this chip."""
+    del dtype
+    return jax.lax.Precision.DEFAULT
+
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_pinned_precision(a.dtype))
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale, nheads):
     bias = bias_ref[0]                        # (1, L) additive f32
     for h in range(nheads):                   # unrolled; heads share the DMA
         q = q_ref[0, h]                       # (Q_BLK, D)
         k = k_ref[0, h]                       # (L, D)
         v = v_ref[0, h]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        s = _dot(q, k, ((1,), (1,)))
         s = s * sm_scale + bias
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         # reciprocal-multiply: one divide per ROW instead of per element
         # (the (Q_BLK, L) elementwise divide was measurable VPU time)
         p = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))).astype(v.dtype)
-        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        o = _dot(p, v, ((1,), (0,)))
         o_ref[0, h] = o.astype(o_ref.dtype)
 
 
@@ -88,29 +103,21 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
         v = v_ref[0, h]
         do = do_ref[0, h]                     # (Q_BLK, D)
         o = o_ref[0, h]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        s = _dot(q, k, ((1,), (1,)))
         s = s * sm_scale + bias
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))   # f32 (Qb, Lk)
         pc = p.astype(v.dtype)
-        dv_ref[0, h] += jax.lax.dot_general(
-            pc, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        dv_ref[0, h] += _dot(pc, do, ((0,), (0,)))
+        dp = _dot(do, v, ((1,), (1,)))
         delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                         axis=-1, keepdims=True)               # (Qb, 1)
         ds = p * (dp - delta)                                 # f32
         db_ref[0, 0] += jnp.sum(ds, axis=0)
         dsc = (ds * sm_scale).astype(q.dtype)
-        dq_ref[0, h] = jax.lax.dot_general(
-            dsc, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-        dk_ref[0, h] += jax.lax.dot_general(
-            dsc, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dq_ref[0, h] = _dot(dsc, k, ((1,), (0,))).astype(dq_ref.dtype)
+        dk_ref[0, h] += _dot(dsc, q, ((0,), (0,)))
 
 
 def _pallas_attention(q, k, v, bias, sm_scale, interpret, q_blk):

@@ -34,6 +34,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pinned_precision(dtype):
+    """Pin dot precision inside the kernel so ambient
+    jax.default_matmul_precision contexts cannot force an illegal fp32
+    contract onto bf16 MXU operands (Mosaic "Bad lhs type"); pinned
+    HIGHEST with f32 operands wedges the device (see ops/pallas_cache.py),
+    so DEFAULT is the only safe contract for every operand dtype."""
+    del dtype
+    return jax.lax.Precision.DEFAULT
+
+
 def _chain_kernel(x_hbm, w1, s1, b1, w2, s2, b2, w3, s3, b3, out_ref,
                   xwin, sem, *, K, R, H, W, C, M, Hpad):
     """Grid (B, nh). xwin: (2, R + 2K, W, C) double-buffered input scratch.
@@ -96,7 +106,8 @@ def _chain_kernel(x_hbm, w1, s1, b1, w2, s2, b2, w3, s3, b3, out_ref,
         # conv1 (1x1): (r*W, C) @ (C, M)
         m1 = jax.lax.dot_general(
             xk.reshape(r * W, C), w1[k],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_pinned_precision(xk.dtype))
         m1 = jnp.maximum(m1 * s1[k] + b1[k], 0.0).astype(xk.dtype)
         m1 = m1.reshape(r, W, M)
         # out-of-image rows are conv2's SAME zero padding — the conv1 bias
@@ -121,12 +132,14 @@ def _chain_kernel(x_hbm, w1, s1, b1, w2, s2, b2, w3, s3, b3, out_ref,
             axis=-1).reshape(ro * W, 9 * M)
         acc = jax.lax.dot_general(
             patches, w2[k].reshape(9 * M, M),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_pinned_precision(patches.dtype))
         m2 = jnp.maximum(acc * s2[k] + b2[k], 0.0).astype(xk.dtype)
         # conv3 (1x1) + residual + relu
         y = jax.lax.dot_general(
             m2, w3[k],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_pinned_precision(m2.dtype))
         y = y * s3[k] + b3[k]
         y = y.reshape(ro, W, C) + x[1:1 + ro].astype(jnp.float32)
         x = jnp.maximum(y, 0.0).astype(xk.dtype)

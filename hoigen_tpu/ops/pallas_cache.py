@@ -27,11 +27,28 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_N = 256
 
 
+def _pinned_precision(dtype):
+    """Dot precision pinned inside the kernel so ambient
+    jax.default_matmul_precision contexts cannot change (or break) the
+    kernel's math.  Two measured failure modes on v5e (round 5):
+    an ambient "highest" forces an fp32 contract onto bf16 MXU operands,
+    which Mosaic rejects ("Bad lhs type"); and a pinned HIGHEST with f32
+    operands compiles but WEDGES the device (the kernel returns, then the
+    next device op hangs forever).  DEFAULT is the only contract proven
+    safe for every operand dtype here: one MXU pass, f32 accumulation via
+    preferred_element_type."""
+    del dtype
+    return jax.lax.Precision.DEFAULT
+
+
 def _kernel(x_ref, w_ref, b_ref, l_ref, s_ref, out_ref):
-    phi = jnp.dot(x_ref[:], w_ref[:].T, preferred_element_type=jnp.float32)
+    prec = _pinned_precision(x_ref.dtype)
+    phi = jnp.dot(x_ref[:], w_ref[:].T, preferred_element_type=jnp.float32,
+                  precision=prec)
     phi = phi + b_ref[:]
     logits = jnp.dot(phi.astype(l_ref.dtype), l_ref[:],
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=_pinned_precision(l_ref.dtype))
     out_ref[:] = logits / s_ref[:]
 
 
