@@ -209,7 +209,7 @@ def fused_bottleneck_chain(x, blocks, row_tile: int = 8,
     out = pl.pallas_call(
         kern,
         grid=(B, nh),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + vspec,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + vspec,
         out_specs=pl.BlockSpec((1, R, W, C), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Hpad, W, C), dt),

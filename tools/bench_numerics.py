@@ -33,12 +33,20 @@ Usage (on the TPU chip — the Pallas toggles are inert on CPU):
 """
 import argparse
 import contextlib
+import faulthandler
 import importlib.util
 import json
 import os
 import shutil
+import signal
 import sys
 import tempfile
+import time
+
+# diagnosis hook: `kill -USR1 <pid>` dumps all thread stacks to stderr
+# without killing the run (compiles through the axon relay can take
+# minutes; this separates "slow" from "stuck")
+faulthandler.register(signal.SIGUSR1)
 
 import numpy as np
 
@@ -54,6 +62,19 @@ def _load_make_fixture():
     return mod
 
 
+# per-query detection perturbation shared by every variant (see
+# patched_detr in run_variant): 100 queries, 25 persons (class 0) + 75
+# seeded object classes at +8.0 logits, and seeded spread boxes
+_Q = 100
+_rngp = np.random.default_rng(11)
+_CLASSES = _rngp.integers(1, 80, _Q)
+_CLASSES[:25] = 0
+_LOGIT_OFF = np.zeros((_Q, 81), np.float32)
+_LOGIT_OFF[range(_Q), _CLASSES] = 8.0
+_BOX_CANNED = _rngp.uniform(0.15, 0.85, (_Q, 4)).astype("float32")
+_BOX_CANNED[:, 2:] = _rngp.uniform(0.15, 0.45, (_Q, 2))
+
+
 # toggle set: (dtype, clip_fused, detr_fused, pallas_cache, host_stream,
 #              matmul_precision)
 VARIANTS = {
@@ -64,8 +85,15 @@ VARIANTS = {
     # that default alone before any explicit toggle
     "f32_mxu":      ("float32", False, False, False, True,  None),
     "bf16":         ("bfloat16", False, False, False, True,  None),
+    # CAVEAT rows: the production EVAL path disables the CLIP fused
+    # attention regardless (engine/hoi_model.py:60-66, measured XLA win),
+    # and the DETR fused path requires bf16 (detr/model.py:139) — so both
+    # f32 rows are inert BY DESIGN and certify exactly that (drift == 0).
     "clip_fused":   ("float32", True,  False, False, True,  "highest"),
     "detr_fused":   ("float32", False, True,  False, True,  "highest"),
+    # the DETR fused kernel at its production dtype, isolated (diff
+    # against the plain bf16 row, not against the f32 baseline)
+    "bf16_detr_fused": ("bfloat16", False, True, False, True, None),
     "pallas_cache": ("float32", False, False, True,  True,  "highest"),
     "dev_stream":   ("float32", False, False, False, False, "highest"),
     # what bench.py / the CLI defaults actually run on TPU
@@ -83,10 +111,12 @@ def _make_cfg(name, spec, data_root, out_root, batch, seed):
         dtype=dtype, use_pallas_cache=pallas, host_clip_stream=host_stream)
 
 
-def run_variant(name, spec, data_root, out_root, batch, seed, captured):
+def run_variant(name, spec, data_root, out_root, batch, seed, captured,
+                canned_detr=False):
     import dataclasses
 
     import jax
+    import jax.numpy as jnp
     import hoigen_tpu.cli.main_finetune as mf
 
     dtype, clip_f, detr_f, pallas, host_stream, prec = spec
@@ -98,6 +128,40 @@ def run_variant(name, spec, data_root, out_root, batch, seed, captured):
             mc,
             clip=dataclasses.replace(mc.clip, fused_attention=clip_f),
             detr=dataclasses.replace(mc.detr, fused_encoder_attention=detr_f))
+
+    import hoigen_tpu.engine.hoi_model as hm
+
+    orig_detr = hm.detr_forward
+
+    def patched_detr(params, images, mask, dcfg):
+        # A RANDOM-INIT decoder collapses to query-INDEPENDENT outputs
+        # (measured: all 100 queries share one class score 0.0729, box cx
+        # std 1.6e-7) -> zero humans, NMS keeps one box, no pairs, and the
+        # whole AP axis is dead. The REAL tower still runs — we add a
+        # per-query CONSTANT perturbation (identical for every variant) on
+        # top: +8.0 logits at a seeded class per query (25 persons) and a
+        # 50/50 blend with seeded spread boxes. Variant-induced tower
+        # drift still propagates additively into the final detections
+        # (boxes at half weight), so the drift comparison stays live.
+        out = dict(orig_detr(params, images, mask, dcfg))
+        lo = jnp.asarray(_LOGIT_OFF, out["pred_logits"].dtype)
+        bc = jnp.asarray(_BOX_CANNED, out["pred_boxes"].dtype)
+        if canned_detr:
+            # fixed-proposals mode: detections are pure constants, so
+            # EVERY variant selects identical proposals and the per-row
+            # score drift of the trained path (CLIP adapters + cache +
+            # text + head) is directly comparable — the dtype variants'
+            # free-running proposal flips (near-tied random-weight scores
+            # reordering top-k) no longer mask it.
+            b = out["pred_logits"].shape[0]
+            out["pred_logits"] = jnp.broadcast_to(
+                lo, (b,) + lo.shape).astype(out["pred_logits"].dtype)
+            out["pred_boxes"] = jnp.broadcast_to(
+                bc, (b,) + bc.shape).astype(out["pred_boxes"].dtype)
+        else:
+            out["pred_logits"] = out["pred_logits"] + lo
+            out["pred_boxes"] = 0.5 * out["pred_boxes"] + 0.5 * bc
+        return out
 
     orig_eval = mf.evaluate_hico
     rows = {"scores": [], "verbs": [], "boxes": [], "objects": [],
@@ -121,12 +185,14 @@ def run_variant(name, spec, data_root, out_root, batch, seed, captured):
            else contextlib.nullcontext())
     mf.make_model_config = patched_mmc
     mf.evaluate_hico = patched_eval
+    hm.detr_forward = patched_detr
     try:
         with ctx:
             result = mf.main(cfg)
     finally:
         mf.make_model_config = orig_mmc
         mf.evaluate_hico = orig_eval
+        hm.detr_forward = orig_detr
     captured[name] = {
         "ap": np.asarray(result["ap"], np.float64),
         "mAP": float(result["mAP"]),
@@ -163,33 +229,53 @@ def author_fixture(cap, spec, dummy_root, out_root, batch, seed, top_k=3):
     assert cap["scores"].shape[0] == n_img, \
         (cap["scores"].shape, n_img)
 
-    new_annos = []
-    n_authored = 0
+    # pass 1: extract every image's detections once. With random weights
+    # the (s_h*s_o)^2.8 prior factor is ~content-invariant, so a plain
+    # top-k-by-score authors the SAME few classes in every image and the
+    # per-class AP drowns in cross-image ties (measured: 9 distinct hoi
+    # over 32 images). Rank instead by the score's margin over that
+    # class's cross-image mean — the content-driven part of the score —
+    # so each image's authored GT is where ITS detections genuinely beat
+    # the other images', and per-class AP ranks on real signal.
+    dets = []
     for i in range(n_img):
         det = _extract_detections(
             cap["scores"][i], cap["boxes"][i], cap["objects"][i], px, py,
             None if cap["verbs"] is None else cap["verbs"][i])
         inter = conv[det["objects"], det["verbs"]]
+        dets.append((det, inter))
+    best = {}                          # class -> per-image best score
+    for i, (det, inter) in enumerate(dets):
+        for c in np.unique(inter[inter >= 0]):
+            m = float(det["scores"][inter == c].max())
+            best.setdefault(int(c), []).append(m)
+    classmean = {c: float(np.mean(v)) for c, v in best.items()}
+
+    new_annos = []
+    n_authored = 0
+    for i, (det, inter) in enumerate(dets):
         keep = inter >= 0
         if not keep.any():
             new_annos.append(inst["annotation"][i])   # keep dummy GT
             continue
-        order = np.argsort(det["scores"][keep])[::-1]
-        inter_k = inter[keep][order]
-        # top_k detections with DISTINCT interactions (one GT per class
-        # per image keeps the association unambiguous)
+        rel = det["scores"] - np.asarray(
+            [classmean.get(int(c), 0.0) for c in inter])
+        order = np.argsort(np.where(keep, rel, -np.inf))[::-1]
+        order = order[keep[order]]
+        inter_k = inter[order]
+        # top_k by relative score with DISTINCT interactions (one GT per
+        # class per image keeps the association unambiguous)
         _, first = np.unique(inter_k, return_index=True)
         pick = order[np.sort(first)[:top_k]]
         w_o, h_o = inst["size"][i]
         ch, cw = cap["clip_sizes"][i]
         sc = np.asarray([w_o / cw, h_o / ch, w_o / cw, h_o / ch])
-        kept = {k: v[keep] for k, v in det.items()}
         new_annos.append({
-            "boxes_h": (kept["boxes_h"][pick] * sc).tolist(),
-            "boxes_o": (kept["boxes_o"][pick] * sc).tolist(),
-            "hoi": inter[keep][pick].tolist(),
-            "verb": kept["verbs"][pick].tolist(),
-            "object": kept["objects"][pick].tolist(),
+            "boxes_h": (det["boxes_h"][pick] * sc).tolist(),
+            "boxes_o": (det["boxes_o"][pick] * sc).tolist(),
+            "hoi": inter[pick].tolist(),
+            "verb": det["verbs"][pick].tolist(),
+            "object": det["objects"][pick].tolist(),
         })
         n_authored += 1
 
@@ -205,6 +291,10 @@ def author_fixture(cap, spec, dummy_root, out_root, batch, seed, top_k=3):
                                           f"instances_{split}.json"), "w"))
     print(f"[numerics] authored GT from baseline detections on "
           f"{n_authored}/{n_img} images", file=sys.stderr)
+    if n_authored < n_img // 2:
+        sys.exit(f"[numerics] DEGENERATE FIXTURE: only {n_authored}/{n_img}"
+                 " images got authored GT — the AP axis would be dead."
+                 " (Did the bbox-head spread in run_variant stop working?)")
     return root
 
 
@@ -235,6 +325,11 @@ def main():
     ap.add_argument("--variants", default=",".join(VARIANTS),
                     help="comma-separated subset (baseline always runs)")
     ap.add_argument("--json", default=None, help="write results here too")
+    ap.add_argument("--canned-detr", action="store_true",
+                    help="fixed-proposals mode: pure-constant detections "
+                         "(identical for every variant) so dtype variants "
+                         "get an aligned per-row score drift of the "
+                         "trained path")
     args = ap.parse_args()
 
     names = [v for v in args.variants.split(",") if v]
@@ -262,20 +357,31 @@ def main():
     print("[numerics] pass A: baseline on dummy GT (authoring) ...",
           file=sys.stderr, flush=True)
     run_variant("author", VARIANTS["baseline"], dummy_root, tmp,
-                args.batch, args.seed, authored)
+                args.batch, args.seed, authored,
+                canned_detr=args.canned_detr)
     data_root = author_fixture(authored["author"], VARIANTS["baseline"],
                                dummy_root, tmp, args.batch, args.seed)
 
     # pass B: every variant on the authored fixture
     captured = {}
     for name in names:
-        print(f"[numerics] running {name} ...", file=sys.stderr, flush=True)
+        print(f"[numerics] running {name} ... "
+              f"(t={time.strftime('%H:%M:%S')})", file=sys.stderr,
+              flush=True)
         run_variant(name, VARIANTS[name], data_root, tmp, args.batch,
-                    args.seed, captured)
+                    args.seed, captured, canned_detr=args.canned_detr)
 
     base = captured["baseline"]
+    # the 600-class mean dilutes (only ~top_k * images distinct classes
+    # carry authored GT), so gate on the count of LIVE classes instead
+    if int((base["ap"] > 0).sum()) < 10:
+        sys.exit(f"[numerics] only {int((base['ap'] > 0).sum())} classes "
+                 "with AP>0 on the baseline's OWN authored detections — "
+                 "the AP axis is dead; aborting rather than reporting "
+                 "vacuous zero drift.")
     report = {"backend": jax.default_backend(), "images": args.images,
               "batch": args.batch, "seed": args.seed,
+              "canned_detr": bool(args.canned_detr),
               "baseline_mAP": base["mAP"], "variants": {}}
     nonzero = int((base["ap"] > 0).sum())
     print(f"\nbaseline: mAP {base['mAP']:.6f} "
@@ -291,6 +397,16 @@ def main():
         ds = (f"{c['max_abs_dscore']:.3e}" if "max_abs_dscore" in c
               else "n/a")
         print(f"{name:<14}{c['mAP']:>10.6f}{c['dmAP']:>12.2e}"
+              f"{c['max_abs_dAP']:>12.2e}{c['classes_dAP_gt_1e-3']:>11d}"
+              f"{str(c['proposals_match']):>7}{ds:>13}")
+    if "bf16" in captured and "bf16_detr_fused" in captured:
+        # the DETR fused kernel at its production dtype, isolated against
+        # the plain-bf16 tower (not the f32 baseline)
+        c = compare(captured["bf16"], captured["bf16_detr_fused"])
+        report["bf16_detr_fused_vs_bf16"] = c
+        ds = (f"{c['max_abs_dscore']:.3e}" if "max_abs_dscore" in c
+              else "n/a")
+        print(f"{'^fused vs bf16':<14}{c['mAP']:>10.6f}{c['dmAP']:>12.2e}"
               f"{c['max_abs_dAP']:>12.2e}{c['classes_dAP_gt_1e-3']:>11d}"
               f"{str(c['proposals_match']):>7}{ds:>13}")
     if args.json:
