@@ -25,15 +25,16 @@ class DETRConfig:
     # bottleneck-chain kernel (ops/fused_resnet.py). Layer1's wide
     # (C=256 at stride 4) activation makes XLA's 3-passes-per-block
     # pattern most expensive there: measured 16.8 -> 11.4 ms STANDALONE at
-    # the eval bucket; layer2 is at parity, layers 3-4 MXU-bound. But in
-    # the FULL eval graph the kernel is a net LOSS — 255.7 vs 262.3 img/s
-    # median at batch 16 (tools/bench_ab_fused.py same-process A/B): the
-    # custom-call boundary forfeits more XLA cross-op fusion/overlap than
-    # the kernel saves. Default OFF; kept as an opt-in and a recorded dead
-    # end (like space-to-depth). Inference/frozen-backbone only (no VJP) —
-    # gated on TPU + bf16 + not remat_backbone, and cli/train_detr.py
-    # (which differentiates the backbone) clears it.
-    fused_resnet_tail: tuple = ()
+    # the eval bucket; layer2 is at parity, layers 3-4 MXU-bound. In the
+    # FULL eval graph the round-3 A/B measured a net loss (255.7 vs 262.3
+    # img/s b16), but the round-5 re-measure at HEAD flipped it: (0,) WINS
+    # 281.1 vs 279.3 img/s at b32 and 275.6 vs 271.5 at b16
+    # (tools/bench_ab_fused.py --mode tail, medians of 4-5 chains), while
+    # (0, 1) loses (276.3 b32) — layer2 stays unfused. Production default
+    # is therefore (0,). Inference/frozen-backbone only (no VJP) — gated
+    # on TPU + bf16 + not remat_backbone (detr/model.py:165-167), and
+    # cli/train_detr.py (which differentiates the backbone) clears it.
+    fused_resnet_tail: tuple = (0,)
     # run the ResNet towers in NCHW (the round-2 layout) instead of NHWC —
     # a perf-experiment knob for full-graph layout A/Bs
     # (tools/bench_ab_fused.py --mode layout); math-identical.

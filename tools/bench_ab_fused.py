@@ -88,7 +88,8 @@ def main():
 
     mode = args.mode or ("stream" if args.stream_ab else "tail")
     variants = {
-        "tail": [("tail=() dev", {}), ("tail=(0,) dev", {"tail": (0,)})],
+        "tail": [("tail=() dev", {}), ("tail=(0,) dev", {"tail": (0,)}),
+                 ("tail=(0,1) dev", {"tail": (0, 1)})],
         "stream": [("dev stream", {}), ("host stream", {"dev_stream": False})],
         "clipattn": [("clip fused", {}),
                      ("clip xla", {"clip_fused": False})],
