@@ -70,11 +70,25 @@ def _xla_attention(q, k, v, key_bias, sm_scale):
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
-def _bwd_q_blk(lk, q_blk):
+def _budget_elems(h, d, itemsize):
+    """Scoped-VMEM q-block budget in (q_blk * lk) elements.
+
+    The proven anchor is 384x1152 measured on the DETR encoder (H=8,
+    D=32, bf16). Both the whole-heads blocks (q_blk*H*D*itemsize) and the
+    UNROLLED per-head (q_blk, lk) f32 transients scale the stack, so the
+    budget shrinks with H, D and itemsize. The CLIP train tower (H=12,
+    D=64, f32 — images_clip is f32) blew the 25M scoped limit at 27M with
+    the unscaled budget (measured round 5); scaled, its backward picks
+    q_blk=128 and fits."""
+    return 384 * 1152 * (8 * 32 * 2) // (h * d * itemsize)
+
+
+def _bwd_q_blk(lk, q_blk, h, d, itemsize):
     # the backward holds ~4 (Q_BLK, Lk) f32 transients (s/e, p, dp, ds)
     # plus the f32 dk/dv accumulators — half the forward's q-block budget
     q_blk = min(q_blk,
-                max(128, (384 * 1152 // 2 // max(lk, 1)) // 128 * 128))
+                max(128, (_budget_elems(h, d, itemsize) // 2
+                          // max(lk, 1)) // 128 * 128))
     return q_blk
 
 
@@ -128,7 +142,8 @@ def _pallas_attention(q, k, v, bias, sm_scale, interpret, q_blk):
     # transients live on the 16MB scoped-VMEM stack, and the proven budget
     # is 384x1152 (the 800x1344 bucket); bigger buckets (e.g. 1333x1333 ->
     # Lk 1792) OOM at q_blk 384
-    q_blk = min(q_blk, max(128, (384 * 1152 // max(lk, 1)) // 128 * 128))
+    q_blk = min(q_blk, max(128, (_budget_elems(h, d, q.dtype.itemsize)
+                                 // max(lk, 1)) // 128 * 128))
     q_blk = min(q_blk, -(-lq // 128) * 128)
     lqp = -(-lq // q_blk) * q_blk                    # pad to block multiple
     lkp = -(-lk // 128) * 128
@@ -169,7 +184,7 @@ def _pallas_attention_bwd(q, k, v, bias, out, g, sm_scale, interpret,
                           q_blk):
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    q_blk = _bwd_q_blk(lk, q_blk)
+    q_blk = _bwd_q_blk(lk, q_blk, h, d, q.dtype.itemsize)
     q_blk = min(q_blk, -(-lq // 128) * 128)
     lqp = -(-lq // q_blk) * q_blk
     lkp = -(-lk // 128) * 128
